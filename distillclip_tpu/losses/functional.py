@@ -1,0 +1,241 @@
+"""Distillation losses as pure functions.
+
+Each function reproduces a reference loss module (model/loss_component/*)
+with *exact* torch reduction semantics, including the quirks:
+
+* ``kl_div_sum`` mirrors ``nn.KLDivLoss(reduction='sum')`` — a SUM over all
+  elements, so its magnitude scales with batch size (reference out_kl.py:8).
+* Per-layer losses average over the layer axis after per-layer reduction.
+* ``last_value_map_kl`` softmaxes over dim=1 (the HEAD axis) of an already
+  key-softmaxed map — a reference quirk preserved bit-for-bit
+  (last_value_map_kl.py:11-14).
+
+Per-layer taps arrive as stacked arrays [L, B, ...] (see models/outputs.py),
+replacing the reference's Python lists of tensors.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# primitive reductions with torch semantics
+# ---------------------------------------------------------------------------
+
+
+def _f32(x: Array) -> Array:
+    return x.astype(jnp.float32)
+
+
+def kl_div_sum(log_input: Array, target: Array) -> Array:
+    """torch nn.KLDivLoss(reduction='sum'): sum(t * (log t - log_input)).
+
+    0 log 0 := 0 (xlogy semantics).
+    """
+    log_input, target = _f32(log_input), _f32(target)
+    t_log_t = jnp.where(target > 0, target * jnp.log(jnp.where(target > 0, target, 1.0)), 0.0)
+    return jnp.sum(t_log_t - target * log_input)
+
+
+def soft_cross_entropy_mean(logits: Array, target_probs: Array) -> Array:
+    """torch nn.CrossEntropyLoss(reduction='mean') with probability targets:
+    mean over batch of -sum(target * log_softmax(logits))."""
+    logp = jax.nn.log_softmax(_f32(logits), axis=1)
+    return -jnp.mean(jnp.sum(_f32(target_probs) * logp, axis=1))
+
+
+def cross_entropy_mean(logits: Array, labels: Array) -> Array:
+    """torch CE with integer labels, mean reduction."""
+    logp = jax.nn.log_softmax(_f32(logits), axis=1)
+    picked = jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+    return -jnp.mean(picked)
+
+
+# ---------------------------------------------------------------------------
+# output-level losses
+# ---------------------------------------------------------------------------
+
+
+def out_l1(stu: Array, tea: Array) -> Array:
+    """L1 on last representations (out_l1.py:4-10)."""
+    return jnp.mean(jnp.abs(_f32(stu) - _f32(tea)))
+
+
+def out_ce(stu: Array, tea: Array) -> Array:
+    """Soft-target CE: CE(stu, softmax(tea)) (out_ce.py:4-13)."""
+    return soft_cross_entropy_mean(stu, jax.nn.softmax(_f32(tea), axis=1))
+
+
+def out_kl(stu: Array, tea: Array, temperature: float) -> Array:
+    """KL(log_softmax(s/T), softmax(t/T)) * T^2, sum reduction (out_kl.py:5-16)."""
+    logp = jax.nn.log_softmax(_f32(stu) / temperature, axis=1)
+    q = jax.nn.softmax(_f32(tea) / temperature, axis=1)
+    return kl_div_sum(logp, q) * temperature ** 2
+
+
+def out_cos(stu: Array, tea: Array) -> Array:
+    """CosineEmbeddingLoss with target +1: mean(1 - cos) (out_cos.py:5-11)."""
+    s, t = _f32(stu), _f32(tea)
+    cos = jnp.sum(s * t, axis=1) / (
+        jnp.linalg.norm(s, axis=1) * jnp.linalg.norm(t, axis=1) + 1e-8
+    )
+    return jnp.mean(1.0 - cos)
+
+
+def embedding_mse(stu: Array, tea: Array) -> Array:
+    """MSE on post-positional embeddings (embed_mse.py:4-10)."""
+    return jnp.mean(jnp.square(_f32(stu) - _f32(tea)))
+
+
+# ---------------------------------------------------------------------------
+# per-layer feature losses (stacked [L, B, H, N, N] / [L, B, N, D])
+# ---------------------------------------------------------------------------
+
+
+def _head_mean(x: Array) -> Array:
+    """[L, B, H, N, N] -> [L, B, N, N] (sum over heads / head count)."""
+    return jnp.sum(_f32(x), axis=2) / x.shape[2]
+
+
+def attention_score_mse(stu_scores: Array, tea_scores: Array) -> Array:
+    """Per-layer MSE on head-averaged scores, layer-averaged
+    (attention_score_mse.py:5-22).  Mean-of-per-layer-means == overall mean
+    because every layer has identical shape."""
+    return jnp.mean(jnp.square(_head_mean(stu_scores) - _head_mean(tea_scores)))
+
+
+def attention_probs_mse(stu_probs: Array, tea_probs: Array) -> Array:
+    """Same on post-softmax probs (attention_probs_mse.py:5-22)."""
+    return jnp.mean(jnp.square(_head_mean(stu_probs) - _head_mean(tea_probs)))
+
+
+def attention_probs_kl(stu_probs: Array, tea_probs: Array) -> Array:
+    """Per-layer sum-KL on head-averaged probs, layer-averaged
+    (attention_probs_kl.py:5-22)."""
+    s = _head_mean(stu_probs)
+    t = _head_mean(tea_probs)
+    L = stu_probs.shape[0]
+    return kl_div_sum(jnp.log(jnp.maximum(s, 1e-30)), t) / L
+
+
+def hidden_rep_mse(stu_reps: Array, tea_reps: Array) -> Array:
+    """Layer-averaged MSE on hidden states (hidden_mse.py:4-17)."""
+    return jnp.mean(jnp.square(_f32(stu_reps) - _f32(tea_reps)))
+
+
+def last_value_map_kl(stu_vm: Array, tea_vm: Array) -> Array:
+    """KL on dim-1 softmax of the last value map (last_value_map_kl.py:5-14).
+
+    Quirk preserved: the map is already softmaxed over keys inside attention;
+    this loss softmaxes AGAIN over dim=1 (the head axis of [B, H, N, N]).
+    """
+    s = jax.nn.log_softmax(_f32(stu_vm), axis=1)
+    t = jax.nn.softmax(_f32(tea_vm), axis=1)
+    return kl_div_sum(s, t)
+
+
+# ---------------------------------------------------------------------------
+# contrastive / image-text losses
+# ---------------------------------------------------------------------------
+
+
+def hard_label(stu_logits: Array) -> Array:
+    """InfoNCE with arange diagonal labels (hard_label.py:5-12)."""
+    labels = jnp.arange(stu_logits.shape[0])
+    return cross_entropy_mean(stu_logits, labels)
+
+
+def soft_label(stu_logits: Array, tea_logits: Array, temperature: float) -> Array:
+    """Sum-KL between T-scaled contrastive distributions * T^2
+    (soft_label.py:5-16)."""
+    logp = jnp.log(
+        jnp.maximum(jax.nn.softmax(_f32(stu_logits) / temperature, axis=1), 1e-30)
+    )
+    q = jax.nn.softmax(_f32(tea_logits) / temperature, axis=1)
+    return kl_div_sum(logp, q) * temperature ** 2
+
+
+def logits_mse(stu_logits: Array, tea_logits: Array) -> Array:
+    """MSE between similarity matrices (logits_mse.py:4-10)."""
+    return jnp.mean(jnp.square(_f32(stu_logits) - _f32(tea_logits)))
+
+
+def fine_grain(image_tokens: Array, text_tokens: Array) -> Array:
+    """ColBERT-style late interaction (fine_grain.py:6-34).
+
+    sim[q, b] = mean_n max_m (query_tokens[q] @ respond_tokens[b].T); CE both
+    directions with diagonal labels.  The reference's Python loop over the
+    batch becomes one einsum.
+    """
+
+    def cal_similarity(query: Array, respond: Array) -> Array:
+        sim = jnp.einsum(
+            "qnd,bmd->qbnm", _f32(query), _f32(respond), preferred_element_type=jnp.float32
+        )
+        return jnp.mean(jnp.max(sim, axis=-1), axis=-1)  # [Q, B]
+
+    i2t = cal_similarity(image_tokens, text_tokens)
+    t2i = cal_similarity(text_tokens, image_tokens)
+    labels = jnp.arange(i2t.shape[0])
+    return 0.5 * (cross_entropy_mean(i2t, labels) + cross_entropy_mean(t2i, labels))
+
+
+def _off_diagonal(x: Array) -> Array:
+    """All off-diagonal elements of a square matrix (clip_cos_diff.py:5-8)."""
+    n = x.shape[0]
+    return x.reshape(-1)[:-1].reshape(n - 1, n + 1)[:, 1:].reshape(-1)
+
+
+def cos_diff(stu_logits: Array, tea_logits: Array) -> Array:
+    """Hinge on cosine gaps (clip_cos_diff.py:11-23): pull the diagonal up to
+    the teacher's, push off-diagonals below the teacher's."""
+    s, t = _f32(stu_logits), _f32(tea_logits)
+    pos = jnp.mean(jax.nn.relu(jnp.diagonal(t) - jnp.diagonal(s)))
+    neg = jnp.mean(jax.nn.relu(_off_diagonal(s) - _off_diagonal(t)))
+    return pos + neg
+
+
+def smd(tea_inputs: Array, stu_inputs: Array, tau: float = 0.04, normalized: bool = True) -> Array:
+    """Similarity-based metric distillation (smd.py:5-54).
+
+    Hardest-negative/positive mining against the teacher's pairwise-distance
+    matrix, margin-weighted 2-way CE.  Mining indices use stop_gradient
+    weights exactly as the reference's ``.detach()``.
+    """
+    t, s = _f32(tea_inputs), _f32(stu_inputs)
+    n = s.shape[0]
+    if normalized:
+        s = s / jnp.maximum(jnp.linalg.norm(s, axis=1, keepdims=True), 1e-12)
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True), 1e-12)
+
+    t_sq = jnp.sum(t * t, axis=1, keepdims=True)  # [n,1]
+    s_sq = jnp.sum(s * s, axis=1, keepdims=True)
+
+    # dist_t[i,j] = ||t_i - t_j||; dist[i,j] = ||t_i - s_j|| (smd.py:19-31)
+    dist_t = jnp.sqrt(jnp.maximum(t_sq + t_sq.T - 2.0 * (t @ t.T), 1e-12))
+    dist = jnp.sqrt(jnp.maximum(t_sq + s_sq.T - 2.0 * (t @ s.T), 1e-12))
+
+    diag = jnp.diagonal(dist)  # dist[i,i]
+    negative_index = (dist_t > diag[:, None]).astype(jnp.float32)
+    negative = jnp.where(negative_index > 0, dist, 1e5)
+    positive = dist * (1.0 - negative_index)
+
+    an_idx = jnp.argmin(negative, axis=1)
+    ap_idx = jnp.argmax(positive, axis=1)
+    dist_an = jnp.take_along_axis(negative, an_idx[:, None], axis=1)[:, 0]
+    dist_ap = jnp.take_along_axis(positive, ap_idx[:, None], axis=1)[:, 0]
+    an_t = jnp.take_along_axis(dist_t, an_idx[:, None], axis=1)[:, 0]
+    ap_t = jnp.take_along_axis(dist_t, ap_idx[:, None], axis=1)[:, 0]
+
+    weight_an = jax.nn.relu(jax.lax.stop_gradient(an_t - dist_an))
+    weight_ap = jax.nn.relu(jax.lax.stop_gradient(dist_ap - ap_t))
+
+    logits = jnp.stack([weight_an * dist_an / tau, weight_ap * dist_ap / tau], axis=1)
+    labels = jnp.zeros((n,), dtype=jnp.int32)
+    return cross_entropy_mean(logits, labels)

@@ -1,0 +1,149 @@
+"""Core layers: fp32 LayerNorm, QuickGELU, MLP, instrumented attention.
+
+TPU-native equivalents of reference model/component/_common.py:14-127.
+
+Mixed precision policy: parameters are stored fp32; compute runs in a
+configurable ``dtype`` (bf16 by default on TPU).  LayerNorm always reduces in
+fp32 and casts back (reference _common.py:14-20 does the same for fp16 AMP).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from distillclip_tpu.models.outputs import AttentionOutput, ControlFlags
+
+Array = jax.Array
+Dtype = Any
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm computed in fp32, result cast back to the input dtype.
+
+    Reference: model/component/_common.py:14-20 (fp16-safe LayerNorm).
+    """
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        y = y * scale + bias
+        return y.astype(orig_dtype)
+
+
+def quick_gelu(x: Array) -> Array:
+    """CLIP's GELU approximation x * sigmoid(1.702 x) (_common.py:23-25)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class Dense(nn.Dense):
+    """nn.Dense with fp32 params; compute dtype follows the input."""
+
+    def __init__(self, features, use_bias=True, kernel_init=None, bias_init=None, name=None):
+        super().__init__(
+            features=features,
+            use_bias=use_bias,
+            dtype=None,  # infer from input
+            param_dtype=jnp.float32,
+            kernel_init=kernel_init or nn.initializers.lecun_normal(),
+            bias_init=bias_init or nn.initializers.zeros,
+            name=name,
+        )
+
+
+class ClipMlp(nn.Module):
+    """CLIP residual-block MLP: Linear(d,4d) -> QuickGELU -> Linear(4d,d).
+
+    Reference: _common.py:104-108 (c_fc / gelu / c_proj).
+    """
+
+    width: int
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        h = Dense(self.width * self.expansion, name="c_fc")(x)
+        h = quick_gelu(h)
+        return Dense(self.width, name="c_proj")(h)
+
+
+class InstrumentedAttention(nn.Module):
+    """CLIP-style fused-QKV multi-head attention with optional taps.
+
+    Re-design of reference MultiheadAttention (_common.py:28-95): the fused
+    in-projection and per-tap branches are identical in math, but taps are
+    gated by *static* ControlFlags so disabled branches never reach XLA.
+
+    The additive attention mask (causal for text) uses a large negative
+    finite constant instead of -inf: it behaves identically under softmax and
+    avoids inf-arithmetic NaNs in bf16.  The downstream "-inf -> 0" score
+    cleanup of the reference (image_encoder.py:61-63) becomes a no-op mask we
+    replicate in the encoders for parity.
+    """
+
+    width: int
+    heads: int
+    drop_prob: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        flags: ControlFlags,
+        mask: Optional[Array] = None,
+        deterministic: bool = True,
+    ) -> AttentionOutput:
+        B, N, D = x.shape
+        head_dim = self.width // self.heads
+        if self.width % self.heads != 0:
+            raise ValueError(f"width {self.width} not divisible by heads {self.heads}")
+
+        # Fused in-projection: one [D, 3D] matmul keeps the MXU busy.
+        qkv = Dense(3 * self.width, name="in_proj")(x)
+        qkv = qkv.reshape(B, N, 3, self.heads, head_dim)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, d]
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+        scale = 1.0 / jnp.sqrt(head_dim).astype(jnp.float32)
+
+        value_map = None
+        if flags.need_value_map:
+            # softmax(V V^T / sqrt(d)) over keys (_common.py:68-71)
+            vm = jnp.einsum("bhnd,bhmd->bhnm", v, v, preferred_element_type=jnp.float32)
+            vm = vm * scale
+            value_map = jax.nn.softmax(vm, axis=-1)
+
+        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        scores = scores * scale
+        if mask is not None:
+            scores = scores + mask.astype(scores.dtype)
+
+        probs = jax.nn.softmax(scores, axis=-1)
+        attn = probs
+        if self.drop_prob > 0.0 and not deterministic:
+            attn = nn.Dropout(rate=self.drop_prob, deterministic=False)(attn)
+
+        ctx = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.width).astype(x.dtype)
+        out = Dense(self.width, name="out_proj")(ctx)
+
+        return AttentionOutput(
+            hidden=out,
+            attention_scores=scores if flags.need_attn_score else None,
+            attention_probs=probs if flags.need_attn_prob else None,
+            value_map=value_map,
+        )

@@ -1,0 +1,497 @@
+"""Weight-share (repeated-block) student transformers.
+
+TPU-native re-design of reference model/component/weight_share_model.py —
+the paper's student: ``depth`` logical layers executed as
+``depth / repeated_times`` parameter blocks, each reused ``repeated_times``
+times.  Per-repeat NON-shared pieces (reference lines cited):
+
+* norm1 / norm2 LayerNorms per repeat        (weight_share_model.py:163-164)
+* 1x1 head-mixing transforms ``conv_l``/``conv_w`` applied to the attention
+  matrix pre-/post-softmax when ``use_transform`` (:79-86,114-121)
+* per-repeat iRPE modules (:57-77)
+* per-repeat DropPath rates (:174-175)
+
+In JAX, weight sharing is expressed naturally: the shared submodule is called
+repeatedly inside the block's ``__call__`` with a *static* repeat index that
+selects the per-repeat parameter instances, replacing the reference's
+``_repeated_id`` attribute mutation (:199-218).  The repeat loop is unrolled
+at trace time (repeated_times is 2 in every shipped config) so XLA sees a
+straight-line graph it can fuse and schedule globally.
+
+The 1x1 convs over the head axis are einsums with an [H, H] matrix — exactly
+Conv2d(num_heads, num_heads, kernel_size=1, bias=False) on [B, H, N, N].
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from distillclip_tpu.models.irpe import RpeConfig, build_rpe_params, rpe_on_keys, rpe_on_queries, rpe_on_values
+from distillclip_tpu.models.outputs import (
+    AttentionOutput,
+    ControlFlags,
+    TextOutput,
+    TransformerOutput,
+    VisionOutput,
+)
+from distillclip_tpu.models.text import TokenEmbedding, eot_pool
+from distillclip_tpu.models.vit import patchify
+
+Array = jax.Array
+
+trunc_normal_02 = nn.initializers.truncated_normal(stddev=0.02, lower=-2.0, upper=2.0)
+
+
+class StudentLayerNorm(nn.Module):
+    """Plain LayerNorm with fp32 math (student blocks use torch defaults)."""
+
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        return (y * scale + bias).astype(orig_dtype)
+
+
+class StudentDense(nn.Dense):
+    """Dense with trunc-normal(0.02) kernel / zero bias (timm-style init,
+    weight_share_model.py:308-315)."""
+
+    def __init__(self, features, use_bias=True, name=None):
+        super().__init__(
+            features=features,
+            use_bias=use_bias,
+            param_dtype=jnp.float32,
+            kernel_init=trunc_normal_02,
+            bias_init=nn.initializers.zeros,
+            name=name,
+        )
+
+
+def drop_path(x: Array, rate: float, deterministic: bool, rng: Optional[Array]) -> Array:
+    """Stochastic depth on the residual branch (per sample)."""
+    if deterministic or rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, p=keep, shape=shape)
+    return jnp.where(mask, x / keep, jnp.zeros_like(x))
+
+
+class MiniAttention(nn.Module):
+    """Shared-parameter attention with per-repeat head transforms and iRPE.
+
+    Reference: weight_share_model.py:37-151 (MiniAttention).
+
+    Tap semantics match the reference exactly:
+    * ``attention_scores`` = scaled q@k^T BEFORE rpe_k/rpe_q/conv_l (:103-105)
+    * ``attention_probs``  = softmax output BEFORE conv_w (:117-119)
+    """
+
+    dim: int
+    num_heads: int
+    repeated_times: int = 1
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    attn_drop: float = 0.0
+    proj_drop: float = 0.0
+    use_transform: bool = False
+    rpe_config: Optional[RpeConfig] = None
+    seq_len: Optional[int] = None  # needed only when rpe_config is set
+
+    @nn.compact
+    def __call__(
+        self,
+        x: Array,
+        repeat_id: int,
+        flags: ControlFlags,
+        deterministic: bool = True,
+    ) -> AttentionOutput:
+        B, N, C = x.shape
+        head_dim = C // self.num_heads
+        scale = self.qk_scale or head_dim ** -0.5
+
+        qkv = StudentDense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+        value_map = None
+        if flags.need_value_map:
+            vm = jnp.einsum("bhnd,bhmd->bhnm", v, v, preferred_element_type=jnp.float32)
+            vm = vm / math.sqrt(head_dim)
+            value_map = jax.nn.softmax(vm, axis=-1)
+
+        q = q * scale
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        attention_scores = attn if flags.need_attn_score else None
+
+        rpe = None
+        if self.rpe_config is not None:
+            if self.seq_len is None:
+                raise ValueError("seq_len required when rpe_config is set")
+            rpe = build_rpe_params(
+                self, self.rpe_config, head_dim, self.num_heads, self.seq_len, self.repeated_times
+            )
+            attn = attn + rpe_on_keys(rpe, repeat_id, q)
+            attn = attn + rpe_on_queries(rpe, repeat_id, k * scale)
+
+        if self.use_transform:
+            # per-repeat 1x1 conv over the head axis, pre-softmax (:114-115)
+            conv_l = self.param(
+                "conv_l", trunc_normal_02, (self.repeated_times, self.num_heads, self.num_heads),
+                jnp.float32,
+            )
+            attn = jnp.einsum(
+                "hg,bgnm->bhnm", conv_l[repeat_id].astype(attn.dtype), attn,
+                preferred_element_type=jnp.float32,
+            )
+
+        attn = jax.nn.softmax(attn, axis=-1)
+        attention_probs = attn if flags.need_attn_prob else None
+
+        if self.use_transform:
+            # post-softmax head mixing (:120-121)
+            conv_w = self.param(
+                "conv_w", trunc_normal_02, (self.repeated_times, self.num_heads, self.num_heads),
+                jnp.float32,
+            )
+            attn = jnp.einsum(
+                "hg,bgnm->bhnm", conv_w[repeat_id].astype(attn.dtype), attn,
+                preferred_element_type=jnp.float32,
+            )
+
+        if self.attn_drop > 0.0 and not deterministic:
+            attn = nn.Dropout(rate=self.attn_drop, deterministic=False)(attn)
+
+        out = jnp.einsum(
+            "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
+        )
+        if rpe is not None:
+            out = out + rpe_on_values(rpe, repeat_id, attn.astype(v.dtype))
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(x.dtype)
+        out = StudentDense(C, name="proj")(out)
+        if self.proj_drop > 0.0 and not deterministic:
+            out = nn.Dropout(rate=self.proj_drop, deterministic=False)(out)
+
+        return AttentionOutput(
+            hidden=out,
+            attention_scores=attention_scores,
+            attention_probs=attention_probs,
+            value_map=value_map,
+        )
+
+
+class Mlp(nn.Module):
+    """timm-style MLP: fc1 -> GELU(exact) -> drop -> fc2 -> drop."""
+
+    in_features: int
+    hidden_features: int
+    drop: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+        x = StudentDense(self.hidden_features, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        if self.drop > 0.0 and not deterministic:
+            x = nn.Dropout(rate=self.drop, deterministic=False)(x)
+        x = StudentDense(self.in_features, name="fc2")(x)
+        if self.drop > 0.0 and not deterministic:
+            x = nn.Dropout(rate=self.drop, deterministic=False)(x)
+        return x
+
+
+class RepeatedMiniBlock(nn.Module):
+    """One parameter block executed ``repeated_times`` times.
+
+    Reference: MiniBlock + RepeatedMiniBlock (weight_share_model.py:154-223).
+    Shared across repeats: attention qkv/proj, MLP.  Per-repeat: norm1/norm2,
+    conv_l/conv_w (inside MiniAttention), DropPath rate, iRPE.
+    """
+
+    dim: int
+    num_heads: int
+    repeated_times: int = 1
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop: float = 0.0
+    attn_drop: float = 0.0
+    drop_paths: Sequence[float] = (0.0,)
+    use_transform: bool = False
+    rpe_config: Optional[RpeConfig] = None
+    seq_len: Optional[int] = None
+
+    @nn.compact
+    def __call__(
+        self, x: Array, flags: ControlFlags, deterministic: bool = True
+    ) -> TransformerOutput:
+        assert len(self.drop_paths) == self.repeated_times
+        attn = MiniAttention(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            repeated_times=self.repeated_times,
+            qkv_bias=self.qkv_bias,
+            qk_scale=self.qk_scale,
+            attn_drop=self.attn_drop,
+            proj_drop=self.drop,
+            use_transform=self.use_transform,
+            rpe_config=self.rpe_config,
+            seq_len=self.seq_len,
+            name="attn",
+        )
+        mlp = Mlp(
+            in_features=self.dim,
+            hidden_features=int(self.dim * self.mlp_ratio),
+            drop=self.drop,
+            name="mlp",
+        )
+        norm1 = [
+            StudentLayerNorm(name=f"norm1_{r}") for r in range(self.repeated_times)
+        ]
+        norm2 = [
+            StudentLayerNorm(name=f"norm2_{r}") for r in range(self.repeated_times)
+        ]
+
+        scores, probs, reps = [], [], []
+        value_map = None
+        for r in range(self.repeated_times):
+            a_out = attn(norm1[r](x), r, flags, deterministic=deterministic)
+            dp_rng = (
+                self.make_rng("droppath")
+                if (not deterministic and self.drop_paths[r] > 0.0)
+                else None
+            )
+            x = x + drop_path(a_out.hidden, self.drop_paths[r], deterministic, dp_rng)
+            m_out = mlp(norm2[r](x), deterministic=deterministic)
+            dp_rng2 = (
+                self.make_rng("droppath")
+                if (not deterministic and self.drop_paths[r] > 0.0)
+                else None
+            )
+            x = x + drop_path(m_out, self.drop_paths[r], deterministic, dp_rng2)
+            if flags.need_rep:
+                reps.append(x)
+            if flags.need_attn_score:
+                scores.append(a_out.attention_scores)
+            if flags.need_attn_prob:
+                probs.append(a_out.attention_probs)
+            value_map = a_out.value_map
+
+        stack = lambda xs: jnp.stack(xs, axis=0) if xs else None
+        return TransformerOutput(
+            hidden=x,
+            attention_scores=stack(scores),
+            attention_probs=stack(probs),
+            representations=stack(reps),
+            value_map=value_map,
+        )
+
+
+def _concat_opt(parts: list) -> Optional[Array]:
+    parts = [p for p in parts if p is not None]
+    return jnp.concatenate(parts, axis=0) if parts else None
+
+
+class RepeatVisionTransformer(nn.Module):
+    """Weight-share student ViT (weight_share_model.py:226-381).
+
+    Final shipped config: depth 6, repeated_times 2, heads 24, embed 768,
+    patch 32, qkv_bias, use_transform (config/final_config/image.yaml:5-23).
+
+    Quirk preserved: like the reference (:336-372), ``need_layers`` is
+    accepted but NOT applied — taps from every executed repeat are returned.
+    """
+
+    img_size: int = 224
+    patch_size: int = 16
+    in_chans: int = 3
+    out_dim: int = 1000
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    repeated_times: int = 1
+    use_transform: bool = False
+    rpe_config: Optional[RpeConfig] = None
+    need_layers: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(
+        self, images: Array, flags: ControlFlags, deterministic: bool = True
+    ) -> VisionOutput:
+        assert self.depth % self.repeated_times == 0
+        B = images.shape[0]
+        P = self.patch_size
+        n_patches = (self.img_size // P) ** 2
+        seq_len = n_patches + 1
+
+        # timm PatchEmbed: conv(patch, stride=patch) WITH bias -> matmul form
+        patch_kernel = self.param(
+            "patch_kernel", trunc_normal_02, (P * P * self.in_chans, self.embed_dim), jnp.float32
+        )
+        patch_bias = self.param(
+            "patch_bias", nn.initializers.zeros, (self.embed_dim,), jnp.float32
+        )
+        x = patchify(images, P) @ patch_kernel.astype(images.dtype) + patch_bias.astype(
+            images.dtype
+        )
+
+        cls_token = self.param("cls_token", trunc_normal_02, (1, 1, self.embed_dim), jnp.float32)
+        pos_embed = self.param(
+            "pos_embed", trunc_normal_02, (1, seq_len, self.embed_dim), jnp.float32
+        )
+        x = jnp.concatenate([jnp.broadcast_to(cls_token.astype(x.dtype), (B, 1, self.embed_dim)), x], axis=1)
+        x = x + pos_embed.astype(x.dtype)
+        embedding = x if flags.need_emb else None
+        if self.drop_rate > 0.0 and not deterministic:
+            x = nn.Dropout(rate=self.drop_rate, deterministic=False)(x)
+
+        n_blocks = self.depth // self.repeated_times
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+
+        scores, probs, reps = [], [], []
+        value_map = None
+        for b in range(n_blocks):
+            block_out = RepeatedMiniBlock(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                repeated_times=self.repeated_times,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_paths=tuple(dpr[b * self.repeated_times : (b + 1) * self.repeated_times]),
+                use_transform=self.use_transform,
+                rpe_config=self.rpe_config,
+                seq_len=seq_len,
+                name=f"blocks_{b}",
+            )(x, flags, deterministic=deterministic)
+            x = block_out.hidden
+            scores.append(block_out.attention_scores)
+            probs.append(block_out.attention_probs)
+            reps.append(block_out.representations)
+            value_map = block_out.value_map
+
+        x = StudentLayerNorm(name="norm")(x)
+        x = StudentDense(self.out_dim, name="head")(x)
+
+        return VisionOutput(
+            last_representation=x[:, 0],
+            last_layer_output=x,
+            attention_scores=_concat_opt(scores),
+            attention_probs=_concat_opt(probs),
+            representations=_concat_opt(reps),
+            value_map=value_map,
+            embedding=embedding,
+        )
+
+
+class RepeatTextTransformer(nn.Module):
+    """Weight-share student text transformer (weight_share_model.py:384-521).
+
+    Final shipped config: depth 4, repeated_times 2, compression embedding
+    (config/final_config/text.yaml:6-10).
+
+    Quirk preserved (documented): the reference student text model applies NO
+    causal mask — attention is bidirectional (forward_features :482-504 never
+    builds one), unlike the CLIP teacher.  EOT pooling is argmax of token ids
+    (:506).
+    """
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    out_dim: int = 512
+    embed_dim: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = False
+    qk_scale: Optional[float] = None
+    drop_rate: float = 0.0
+    attn_drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    repeated_times: int = 1
+    use_transform: bool = False
+    compression_embedding: bool = False
+    embedding_compression_dim: int = 256
+    rpe_config: Optional[RpeConfig] = None
+    need_layers: Optional[Sequence[int]] = None
+
+    @nn.compact
+    def __call__(
+        self, tokens: Array, flags: ControlFlags, deterministic: bool = True
+    ) -> TextOutput:
+        assert self.depth % self.repeated_times == 0
+        x = TokenEmbedding(
+            vocab_size=self.vocab_size,
+            width=self.embed_dim,
+            compression=self.compression_embedding,
+            compression_dim=self.embedding_compression_dim,
+            name="patch_embed",
+        )(tokens)
+        pos_embed = self.param(
+            "pos_embed", trunc_normal_02, (self.context_length, self.embed_dim), jnp.float32
+        )
+        x = x + pos_embed.astype(x.dtype)
+        embedding = x if flags.need_emb else None
+        if self.drop_rate > 0.0 and not deterministic:
+            x = nn.Dropout(rate=self.drop_rate, deterministic=False)(x)
+
+        n_blocks = self.depth // self.repeated_times
+        dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
+
+        scores, probs, reps = [], [], []
+        value_map = None
+        for b in range(n_blocks):
+            block_out = RepeatedMiniBlock(
+                dim=self.embed_dim,
+                num_heads=self.num_heads,
+                repeated_times=self.repeated_times,
+                mlp_ratio=self.mlp_ratio,
+                qkv_bias=self.qkv_bias,
+                qk_scale=self.qk_scale,
+                drop=self.drop_rate,
+                attn_drop=self.attn_drop_rate,
+                drop_paths=tuple(dpr[b * self.repeated_times : (b + 1) * self.repeated_times]),
+                use_transform=self.use_transform,
+                rpe_config=self.rpe_config,
+                seq_len=self.context_length,
+                name=f"blocks_{b}",
+            )(x, flags, deterministic=deterministic)
+            x = block_out.hidden
+            scores.append(block_out.attention_scores)
+            probs.append(block_out.attention_probs)
+            reps.append(block_out.representations)
+            value_map = block_out.value_map
+
+        x = StudentLayerNorm(name="norm")(x)
+        x = StudentDense(self.out_dim, name="head")(x)
+
+        return TextOutput(
+            last_representation=eot_pool(x, tokens),
+            last_layer_output=x,
+            attention_scores=_concat_opt(scores),
+            attention_probs=_concat_opt(probs),
+            representations=_concat_opt(reps),
+            value_map=value_map,
+            embedding=embedding,
+        )

@@ -1,0 +1,132 @@
+"""CLIP text transformer (teacher tower / plain student).
+
+TPU-native equivalent of reference model/component/text_encoder.py.
+
+EOT pooling uses ``argmax(tokens)`` — the EOT token id is the largest in the
+vocabulary — exactly as the reference (text_encoder.py:86).  The gather is a
+one-hot matmul (MXU-friendly; avoids a scatter/gather on 77-length rows).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from distillclip_tpu.models.layers import Dense, LayerNorm
+from distillclip_tpu.models.outputs import ControlFlags, TextOutput
+from distillclip_tpu.models.transformer import Transformer, causal_mask
+
+Array = jax.Array
+
+
+def eot_pool(x: Array, tokens: Array) -> Array:
+    """Select the feature at the EOT (max token id) position per row.
+
+    x: [B, N, D], tokens: [B, N] int -> [B, D]
+    """
+    eot_idx = jnp.argmax(tokens, axis=-1)  # [B]
+    onehot = jax.nn.one_hot(eot_idx, tokens.shape[1], dtype=x.dtype)  # [B, N]
+    return jnp.einsum("bn,bnd->bd", onehot, x, preferred_element_type=jnp.float32).astype(x.dtype)
+
+
+class TokenEmbedding(nn.Module):
+    """Token embedding, optionally factorized (compression) per reference
+    text_encoder.py:20-23 / weight_share_model.py:402-407:
+    Embedding(vocab, compress_dim) -> Linear(compress_dim, width)."""
+
+    vocab_size: int
+    width: int
+    compression: bool = False
+    compression_dim: int = 256
+
+    @nn.compact
+    def __call__(self, tokens: Array) -> Array:
+        if self.compression:
+            emb = nn.Embed(
+                self.vocab_size,
+                self.compression_dim,
+                param_dtype=jnp.float32,
+                embedding_init=nn.initializers.normal(stddev=0.02),
+                name="embed",
+            )(tokens)
+            return Dense(self.width, name="expand")(emb)
+        return nn.Embed(
+            self.vocab_size,
+            self.width,
+            param_dtype=jnp.float32,
+            embedding_init=nn.initializers.normal(stddev=0.02),
+            name="embed",
+        )(tokens)
+
+
+class TextTransformer(nn.Module):
+    """CLIP text tower: tokens -> embed+pos -> causal Transformer -> ln_final
+    -> text_projection; EOT-pooled representation.
+
+    Reference: model/component/text_encoder.py:63-92.  Note the reference
+    projects *all* tokens through text_projection (``last_layer_output``) and
+    pools the projected sequence (text_encoder.py:79-86); we match that.
+    """
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    output_dim: int = 512
+    need_layers: Optional[Sequence[int]] = None
+    drop_prob: float = 0.0
+    compression_embedding: bool = False
+    embedding_compression_dim: int = 256
+
+    @nn.compact
+    def __call__(
+        self, tokens: Array, flags: ControlFlags, deterministic: bool = True
+    ) -> TextOutput:
+        emb = TokenEmbedding(
+            vocab_size=self.vocab_size,
+            width=self.width,
+            compression=self.compression_embedding,
+            compression_dim=self.embedding_compression_dim,
+            name="token_embedding",
+        )(tokens)
+        positional_embedding = self.param(
+            "positional_embedding",
+            nn.initializers.normal(stddev=0.01),
+            (self.context_length, self.width),
+            jnp.float32,
+        )
+        x = emb + positional_embedding.astype(emb.dtype)
+        embedding = x if flags.need_emb else None
+
+        mask = causal_mask(self.context_length)
+        t_out = Transformer(
+            width=self.width,
+            layers=self.layers,
+            heads=self.heads,
+            need_layers=self.need_layers,
+            drop_prob=self.drop_prob,
+            name="transformer",
+        )(x, flags, mask=mask, deterministic=deterministic)
+
+        x = LayerNorm(name="ln_final")(t_out.hidden)
+        text_projection = self.param(
+            "text_projection",
+            nn.initializers.normal(stddev=self.width ** -0.5),
+            (self.width, self.output_dim),
+            jnp.float32,
+        )
+        projected = x @ text_projection.astype(x.dtype)
+
+        return TextOutput(
+            last_representation=eot_pool(projected, tokens),
+            last_layer_output=projected,
+            attention_scores=t_out.attention_scores,
+            attention_probs=t_out.attention_probs,
+            representations=t_out.representations,
+            value_map=t_out.value_map,
+            embedding=embedding,
+        )
