@@ -1,0 +1,212 @@
+"""Teacher loader parity: fabricated CLIP checkpoint -> JAX forward must
+match a torch ground-truth forward of the same weights.
+
+The torch forward below re-states CLIP's architecture (reference
+model/component/_common.py semantics) as the oracle; the JAX side goes
+through the full load path: torch.save file -> load_torch_state_dict ->
+hyperparameter inference -> weight mapping -> encoder forward.
+"""
+
+import math
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as tf
+
+import jax
+import jax.numpy as jnp
+
+from distillclip_tpu.models import ControlFlags
+from distillclip_tpu.models.teacher import (
+    get_transformer_para,
+    get_visual_para,
+    load_image_teacher,
+    load_text_teacher,
+    load_torch_state_dict,
+    teacher_load,
+)
+
+# tiny CLIP: vision width 64/heads 1, text width 64/heads 1 via the //64 rule
+V_WIDTH, V_LAYERS, PATCH, RES, OUT = 64, 3, 8, 32, 48
+T_WIDTH, T_LAYERS, CTX, VOCAB = 64, 2, 12, 100
+
+
+def _make_state_dict(seed=0):
+    g = torch.Generator().manual_seed(seed)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.05
+    sd = {}
+    # vision tower
+    sd["visual.conv1.weight"] = r(V_WIDTH, 3, PATCH, PATCH)
+    sd["visual.class_embedding"] = r(V_WIDTH)
+    n_patches = (RES // PATCH) ** 2
+    sd["visual.positional_embedding"] = r(n_patches + 1, V_WIDTH)
+    sd["visual.ln_pre.weight"] = 1 + 0.1 * r(V_WIDTH)
+    sd["visual.ln_pre.bias"] = 0.1 * r(V_WIDTH)
+    for i in range(V_LAYERS):
+        p = f"visual.transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = 1 + 0.1 * r(V_WIDTH)
+        sd[f"{p}.ln_1.bias"] = 0.1 * r(V_WIDTH)
+        sd[f"{p}.ln_2.weight"] = 1 + 0.1 * r(V_WIDTH)
+        sd[f"{p}.ln_2.bias"] = 0.1 * r(V_WIDTH)
+        sd[f"{p}.attn.in_proj_weight"] = r(3 * V_WIDTH, V_WIDTH)
+        sd[f"{p}.attn.in_proj_bias"] = 0.1 * r(3 * V_WIDTH)
+        sd[f"{p}.attn.out_proj.weight"] = r(V_WIDTH, V_WIDTH)
+        sd[f"{p}.attn.out_proj.bias"] = 0.1 * r(V_WIDTH)
+        sd[f"{p}.mlp.c_fc.weight"] = r(4 * V_WIDTH, V_WIDTH)
+        sd[f"{p}.mlp.c_fc.bias"] = 0.1 * r(4 * V_WIDTH)
+        sd[f"{p}.mlp.c_proj.weight"] = r(V_WIDTH, 4 * V_WIDTH)
+        sd[f"{p}.mlp.c_proj.bias"] = 0.1 * r(V_WIDTH)
+    sd["visual.ln_post.weight"] = 1 + 0.1 * r(V_WIDTH)
+    sd["visual.ln_post.bias"] = 0.1 * r(V_WIDTH)
+    sd["visual.proj"] = r(V_WIDTH, OUT)
+    # text tower
+    sd["token_embedding.weight"] = r(VOCAB, T_WIDTH)
+    sd["positional_embedding"] = r(CTX, T_WIDTH)
+    for i in range(T_LAYERS):
+        p = f"transformer.resblocks.{i}"
+        sd[f"{p}.ln_1.weight"] = 1 + 0.1 * r(T_WIDTH)
+        sd[f"{p}.ln_1.bias"] = 0.1 * r(T_WIDTH)
+        sd[f"{p}.ln_2.weight"] = 1 + 0.1 * r(T_WIDTH)
+        sd[f"{p}.ln_2.bias"] = 0.1 * r(T_WIDTH)
+        sd[f"{p}.attn.in_proj_weight"] = r(3 * T_WIDTH, T_WIDTH)
+        sd[f"{p}.attn.in_proj_bias"] = 0.1 * r(3 * T_WIDTH)
+        sd[f"{p}.attn.out_proj.weight"] = r(T_WIDTH, T_WIDTH)
+        sd[f"{p}.attn.out_proj.bias"] = 0.1 * r(T_WIDTH)
+        sd[f"{p}.mlp.c_fc.weight"] = r(4 * T_WIDTH, T_WIDTH)
+        sd[f"{p}.mlp.c_fc.bias"] = 0.1 * r(4 * T_WIDTH)
+        sd[f"{p}.mlp.c_proj.weight"] = r(T_WIDTH, 4 * T_WIDTH)
+        sd[f"{p}.mlp.c_proj.bias"] = 0.1 * r(T_WIDTH)
+    sd["ln_final.weight"] = 1 + 0.1 * r(T_WIDTH)
+    sd["ln_final.bias"] = 0.1 * r(T_WIDTH)
+    sd["text_projection"] = r(T_WIDTH, OUT)
+    return sd
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "tiny_clip.pt"
+    torch.save(_make_state_dict(), str(path))
+    return str(path)
+
+
+# ---------------------------------------------------------------------------
+# torch oracle forwards (CLIP semantics)
+# ---------------------------------------------------------------------------
+
+
+def _torch_block(x, sd, p, heads, mask=None):
+    def ln(t, pre):
+        return tf.layer_norm(t, (t.shape[-1],), sd[f"{pre}.weight"], sd[f"{pre}.bias"])
+
+    h = ln(x, f"{p}.ln_1")
+    qkv = tf.linear(h, sd[f"{p}.attn.in_proj_weight"], sd[f"{p}.attn.in_proj_bias"])
+    q, k, v = qkv.chunk(3, dim=-1)
+    B, N, D = q.shape
+    hd = D // heads
+    reshape = lambda t: t.view(B, N, heads, hd).permute(0, 2, 1, 3)
+    q, k, v = reshape(q), reshape(k), reshape(v)
+    scores = q @ k.transpose(-1, -2) / math.sqrt(hd)
+    if mask is not None:
+        scores = scores + mask
+    probs = scores.softmax(dim=-1)
+    ctx = (probs @ v).permute(0, 2, 1, 3).reshape(B, N, D)
+    attn_out = tf.linear(ctx, sd[f"{p}.attn.out_proj.weight"], sd[f"{p}.attn.out_proj.bias"])
+    x = x + attn_out
+    h = ln(x, f"{p}.ln_2")
+    h = tf.linear(h, sd[f"{p}.mlp.c_fc.weight"], sd[f"{p}.mlp.c_fc.bias"])
+    h = h * torch.sigmoid(1.702 * h)  # QuickGELU
+    h = tf.linear(h, sd[f"{p}.mlp.c_proj.weight"], sd[f"{p}.mlp.c_proj.bias"])
+    return x + h
+
+
+def _torch_visual(sd, images_nchw):
+    x = tf.conv2d(images_nchw, sd["visual.conv1.weight"], stride=PATCH)
+    x = x.flatten(2).permute(0, 2, 1)
+    cls = sd["visual.class_embedding"].expand(x.shape[0], 1, -1)
+    x = torch.cat([cls, x], dim=1) + sd["visual.positional_embedding"]
+    x = tf.layer_norm(x, (V_WIDTH,), sd["visual.ln_pre.weight"], sd["visual.ln_pre.bias"])
+    for i in range(V_LAYERS):
+        x = _torch_block(x, sd, f"visual.transformer.resblocks.{i}", heads=V_WIDTH // 64)
+    x = tf.layer_norm(x, (V_WIDTH,), sd["visual.ln_post.weight"], sd["visual.ln_post.bias"])
+    x = x @ sd["visual.proj"]
+    return x[:, 0]
+
+
+def _torch_text(sd, tokens):
+    x = sd["token_embedding.weight"][tokens] + sd["positional_embedding"]
+    mask = torch.full((CTX, CTX), float("-inf")).triu_(1)
+    for i in range(T_LAYERS):
+        x = _torch_block(x, sd, f"transformer.resblocks.{i}", heads=T_WIDTH // 64, mask=mask)
+    x = tf.layer_norm(x, (T_WIDTH,), sd["ln_final.weight"], sd["ln_final.bias"])
+    x = x @ sd["text_projection"]
+    return x[torch.arange(x.shape[0]), tokens.argmax(dim=-1)]
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+
+def test_hyperparam_inference(ckpt_path):
+    sd = load_torch_state_dict(ckpt_path)
+    vp = get_visual_para(sd)
+    assert vp == {
+        "kind": "vit", "layers": V_LAYERS, "width": V_WIDTH, "patch_size": PATCH,
+        "input_resolution": RES, "heads": 1, "output_dim": OUT,
+    }
+    tp = get_transformer_para(sd)
+    assert tp == {
+        "output_dim": OUT, "context_length": CTX, "vocab_size": VOCAB,
+        "width": T_WIDTH, "heads": 1, "layers": T_LAYERS,
+    }
+
+
+def test_image_teacher_parity(ckpt_path):
+    sd = _make_state_dict()
+    rng = np.random.default_rng(7)
+    imgs = rng.normal(size=(4, RES, RES, 3)).astype(np.float32)
+    expected = _torch_visual(sd, torch.tensor(imgs).permute(0, 3, 1, 2)).detach().numpy()
+
+    module, variables = load_image_teacher(ckpt_path)
+    out = module.apply(variables, jnp.asarray(imgs), ControlFlags())
+    np.testing.assert_allclose(
+        np.asarray(out.last_representation), expected, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_text_teacher_parity(ckpt_path):
+    sd = _make_state_dict()
+    rng = np.random.default_rng(8)
+    toks = rng.integers(0, VOCAB - 1, size=(4, CTX))
+    toks[:, 5] = VOCAB - 1  # EOT at a fixed position
+    expected = _torch_text(sd, torch.tensor(toks)).detach().numpy()
+
+    module, variables = load_text_teacher(ckpt_path)
+    out = module.apply(variables, jnp.asarray(toks), ControlFlags())
+    np.testing.assert_allclose(
+        np.asarray(out.last_representation), expected, rtol=1e-4, atol=1e-4
+    )
+
+
+def test_dual_teacher_logits(ckpt_path):
+    module, variables = teacher_load(ckpt_path, model_type="all")
+    rng = np.random.default_rng(9)
+    imgs = jnp.asarray(rng.normal(size=(3, RES, RES, 3)), jnp.float32)
+    toks = jnp.asarray(rng.integers(0, VOCAB, size=(3, CTX)))
+    out = module.apply(variables, toks, imgs, ControlFlags())
+    assert out.i2t_logits.shape == (3, 3)
+    sd = _make_state_dict()
+    img_f = _torch_visual(sd, torch.tensor(np.asarray(imgs)).permute(0, 3, 1, 2))
+    txt_f = _torch_text(sd, torch.tensor(np.asarray(toks)))
+    img_f = img_f / img_f.norm(dim=1, keepdim=True)
+    txt_f = txt_f / txt_f.norm(dim=1, keepdim=True)
+    expected = (img_f @ txt_f.t()).detach().numpy()
+    np.testing.assert_allclose(np.asarray(out.i2t_logits), expected, rtol=1e-4, atol=1e-4)
+
+
+def test_need_layers_threading(ckpt_path):
+    module, variables = load_image_teacher(ckpt_path, need_layers=[0, 2])
+    imgs = jnp.zeros((1, RES, RES, 3))
+    out = module.apply(variables, imgs, ControlFlags(need_rep=True))
+    assert out.representations.shape[0] == 2
