@@ -1,0 +1,148 @@
+"""Checkpointing: Orbax save/restore with the reference's retention policy.
+
+Reference policy (image.yaml:93-108, l_clip.yaml:82-97): two ModelCheckpoint
+callbacks per stage — top-2 by val accuracy (max) and top-2 by val loss
+(min) — plus ``last``.  Filenames embed epoch/acc/loss.
+
+Cross-stage composition (dual_distill_model.py:22-38): stage 3 restores the
+stage-1/2 student towers; the reference strips the ``student.`` key prefix,
+here :func:`restore_tower_params` extracts the ``student`` subtree of a
+stage checkpoint.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Any, Dict, List, Optional
+
+import jax
+import numpy as np
+
+Array = jax.Array
+
+
+def _tree_to_numpy(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_pytree(path: str, tree: Any) -> None:
+    """Save a pytree via Orbax (async-capable, TPU-host friendly)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _tree_to_numpy(tree))
+
+
+def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        if template is None:
+            return ckptr.restore(path)
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), template
+        )
+        return ckptr.restore(path, abstract)
+
+
+def restore_tower_params(ckpt_path: str, template: Any) -> Any:
+    """Restore one student tower from a stage-1/2 checkpoint.
+
+    Accepts either a full stage checkpoint ({'params': {'student': ...}} or
+    {'student': ...}) or a bare tower tree; equivalent to the reference's
+    'student.'-prefix strip (dual_distill_model.py:27-33).
+    """
+    restored = restore_pytree(ckpt_path)
+    for key in ("params",):
+        if isinstance(restored, dict) and key in restored:
+            restored = restored[key]
+    if isinstance(restored, dict) and "student" in restored:
+        restored = restored["student"]
+
+    # validate against the template structure
+    t_struct = jax.tree_util.tree_structure(template)
+    r_struct = jax.tree_util.tree_structure(restored)
+    if t_struct != r_struct:
+        raise ValueError(
+            f"checkpoint tower structure mismatch:\n got {r_struct}\n want {t_struct}"
+        )
+    return jax.tree_util.tree_map(lambda t, r: np.asarray(r, t.dtype), template, restored)
+
+
+class CheckpointManager:
+    """top-k-by-two-metrics + last retention (reference callbacks)."""
+
+    def __init__(
+        self,
+        directory: str,
+        top_k: int = 2,
+        acc_metric: str = "stu_acc_top1",
+        loss_metric: str = "loss",
+    ):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.top_k = top_k
+        self.acc_metric = acc_metric
+        self.loss_metric = loss_metric
+        self._index_path = os.path.join(self.directory, "index.json")
+        self._index: Dict[str, Any] = {"entries": []}
+        if os.path.exists(self._index_path):
+            with open(self._index_path) as f:
+                self._index = json.load(f)
+
+    def _write_index(self):
+        with open(self._index_path, "w") as f:
+            json.dump(self._index, f, indent=2)
+
+    def save_epoch(self, epoch: int, state_tree: Any, metrics: Dict[str, float]) -> str:
+        acc = float(metrics.get(self.acc_metric, 0.0))
+        loss = float(metrics.get(self.loss_metric, 0.0))
+        name = f"epoch{epoch}-acc{acc:.3f}-loss{loss:.5f}"
+        path = os.path.join(self.directory, name)
+        save_pytree(path, state_tree)
+
+        # refresh 'last' (save_last: True)
+        last = os.path.join(self.directory, "last")
+        if os.path.exists(last):
+            shutil.rmtree(last)
+        save_pytree(last, state_tree)
+
+        self._index["entries"].append(
+            {"name": name, "epoch": epoch, "acc": acc, "loss": loss}
+        )
+        self._gc()
+        self._write_index()
+        return path
+
+    def _gc(self):
+        """Keep union of top-k by acc (max) and top-k by loss (min)."""
+        entries = self._index["entries"]
+        by_acc = sorted(entries, key=lambda e: -e["acc"])[: self.top_k]
+        by_loss = sorted(entries, key=lambda e: e["loss"])[: self.top_k]
+        keep = {e["name"] for e in by_acc} | {e["name"] for e in by_loss}
+        for e in list(entries):
+            if e["name"] not in keep:
+                p = os.path.join(self.directory, e["name"])
+                if os.path.exists(p):
+                    shutil.rmtree(p)
+                entries.remove(e)
+
+    def best(self, metric: str = "acc") -> Optional[str]:
+        entries = self._index["entries"]
+        if not entries:
+            return None
+        if metric == "acc":
+            e = max(entries, key=lambda e: e["acc"])
+        else:
+            e = min(entries, key=lambda e: e["loss"])
+        return os.path.join(self.directory, e["name"])
+
+    def last(self) -> Optional[str]:
+        p = os.path.join(self.directory, "last")
+        return p if os.path.exists(p) else None

@@ -1,0 +1,140 @@
+"""Train state + optimizer construction with mask-based freezing.
+
+The reference freezes/unfreezes by mutating ``requires_grad``
+(distil_model.py:197-221, dual_distill_model.py:230-268).  The JAX-native
+equivalent is an ``optax.masked`` zero-update transform over a boolean
+pytree — parameters stay in the state, their updates are zeroed, and
+"unfreezing" swaps in an optimizer built with a different mask (one re-jit
+at the epoch boundary, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+Array = jax.Array
+Params = Any
+
+
+def apply_mask(tree: Params, mask: Optional[Params]) -> Params:
+    """Zero leaves whose mask is False.
+
+    The mask holds *Python* bools, so the select resolves at trace time:
+    frozen leaves become constants and XLA never materializes their math.
+    """
+    if mask is None:
+        return tree
+    return jax.tree_util.tree_map(
+        lambda m, x: x if m else jnp.zeros_like(x), mask, tree
+    )
+
+
+@struct.dataclass
+class TrainState:
+    """Minimal train state: step counter, params, optimizer state."""
+
+    step: Array
+    params: Params
+    opt_state: Any
+
+    def apply_gradients(
+        self,
+        grads: Params,
+        tx: optax.GradientTransformation,
+        trainable_mask: Optional[Params] = None,
+    ) -> "TrainState":
+        """Optimizer step with trace-time freeze masking.
+
+        Grad AND update masking: masking only grads would still let AdamW's
+        decoupled weight decay move frozen parameters.
+        """
+        grads = apply_mask(grads, trainable_mask)
+        updates, new_opt_state = tx.update(grads, self.opt_state, self.params)
+        updates = apply_mask(updates, trainable_mask)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(step=self.step + 1, params=new_params, opt_state=new_opt_state)
+
+
+def path_str(path) -> str:
+    """KeyPath -> 'a/b/c' string for prefix matching."""
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def freeze_mask(
+    params: Params,
+    frozen_paths: Sequence[str] = (),
+    frozen_prefixes: Sequence[str] = (),
+) -> Params:
+    """Boolean pytree: True = trainable, False = frozen.
+
+    ``frozen_paths`` match exactly; ``frozen_prefixes`` match startswith —
+    the TPU equivalent of the reference's name-prefix freezing
+    (dual_distill_model.py:253-261 freeze_with_prefix).
+    """
+    frozen_paths = set(frozen_paths)
+    prefixes = tuple(frozen_prefixes)
+
+    def label(path, _):
+        s = path_str(path)
+        if s in frozen_paths:
+            return False
+        return not any(s.startswith(p) for p in prefixes)
+
+    return jax.tree_util.tree_map_with_path(label, params)
+
+
+def make_optimizer(
+    learning_rate: Callable,
+    weight_decay: float = 1e-3,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    grad_clip_norm: Optional[float] = None,
+) -> optax.GradientTransformation:
+    """AdamW matching torch defaults (distil_model.py:160-162).
+
+    Like torch AdamW with ``filter(requires_grad)``, weight decay applies to
+    every trainable parameter (the reference does not exclude LN/bias).
+    Freezing is applied by :meth:`TrainState.apply_gradients` via a static
+    mask — not ``optax.masked`` — so the jitted graph keeps one uniform
+    structure (and trace-time constants for frozen leaves).
+    """
+    chain = []
+    if grad_clip_norm is not None:
+        chain.append(optax.clip_by_global_norm(grad_clip_norm))
+    chain.append(
+        optax.adamw(learning_rate=learning_rate, b1=b1, b2=b2, eps=eps,
+                    weight_decay=weight_decay)
+    )
+    return optax.chain(*chain)
+
+
+def count_params(params: Params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
+
+
+def cast_to_compute(params: Params, dtype=jnp.bfloat16) -> Params:
+    """Cast fp32 params to the compute dtype for the forward pass.
+
+    Master weights stay fp32 in the state (the reference's fp16 AMP keeps
+    fp32 master weights the same way, image.yaml:69 'precision: 16').
+    fp32 LayerNorm internals are preserved by the modules themselves.
+    """
+
+    def cast(x):
+        return x.astype(dtype) if x.dtype == jnp.float32 else x
+
+    return jax.tree_util.tree_map(cast, params)

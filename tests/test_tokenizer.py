@@ -1,0 +1,89 @@
+"""BPE tokenizer tests against a miniature merges table."""
+
+import gzip
+
+import numpy as np
+import pytest
+
+from distillclip_tpu.data.tokenizer import (
+    HashTokenizer,
+    SimpleTokenizer,
+    build_tokenizer,
+    bytes_to_unicode,
+    whitespace_clean,
+)
+
+MINI_MERGES = """#version: tiny
+h e
+l l
+he ll
+o w</w>
+hell o</w>
+"""
+
+
+@pytest.fixture(scope="module")
+def bpe_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("bpe") / "mini.txt.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write(MINI_MERGES)
+    return str(p)
+
+
+def test_bytes_to_unicode_roundtrip():
+    table = bytes_to_unicode()
+    assert len(table) == 256
+    assert len(set(table.values())) == 256
+
+
+def test_bpe_merging(bpe_path):
+    tok = SimpleTokenizer(bpe_path, merge_limit=None)
+    # 'hello' -> h e l l o</w> -> he ll o</w> -> hell o</w> -> hello</w>
+    assert tok.bpe("hello") == "hello</w>"
+    # 'hell' -> h e l l</w>: (h,e) merges, then (l, l</w>) is NOT (l, l)
+    assert tok.bpe("hell") == "he l l</w>"
+    ids = tok.encode("hello hello")
+    assert ids == [tok.encoder["hello</w>"]] * 2
+
+
+def test_tokenize_shape_and_specials(bpe_path):
+    tok = SimpleTokenizer(bpe_path, merge_limit=None)
+    arr = tok.tokenize(["hello", "hello hello hello"], context_length=8)
+    assert arr.shape == (2, 8)
+    assert arr.dtype == np.int32
+    assert arr[0, 0] == tok.sot_token
+    assert arr[0, 2] == tok.eot_token
+    assert arr[0, 3:].sum() == 0  # zero padding
+    # eot id is the max id -> argmax pooling finds it
+    assert tok.eot_token == tok.vocab_size - 1
+
+
+def test_truncation(bpe_path):
+    tok = SimpleTokenizer(bpe_path, merge_limit=None)
+    long_text = "hello " * 50
+    arr = tok.tokenize([long_text], context_length=10)
+    assert arr.shape == (1, 10)
+    assert arr[0, -1] == tok.eot_token
+    with pytest.raises(RuntimeError):
+        tok.tokenize([long_text], context_length=10, truncate=False)
+
+
+def test_decode_roundtrip(bpe_path):
+    tok = SimpleTokenizer(bpe_path, merge_limit=None)
+    ids = tok.encode("hello hello")
+    assert tok.decode(ids) == "hello hello"
+
+
+def test_whitespace_clean():
+    assert whitespace_clean("  a \t b\n\nc ") == "a b c"
+
+
+def test_hash_tokenizer_fallback(tmp_path):
+    tok = build_tokenizer(str(tmp_path / "missing.gz"))
+    assert isinstance(tok, HashTokenizer)
+    arr = tok.tokenize(["a cat on a mat"], context_length=16)
+    assert arr.shape == (1, 16)
+    assert arr[0, 0] == tok.sot_token
+    # deterministic
+    arr2 = tok.tokenize(["a cat on a mat"], context_length=16)
+    np.testing.assert_array_equal(arr, arr2)

