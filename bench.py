@@ -1,0 +1,167 @@
+#!/usr/bin/env python
+"""Benchmark: L-CLIP distillation throughput (image-text pairs/sec/chip).
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The workload is the stage-3 joint L-CLIP train step at the shipped final
+scale (configs/final/l_clip.yaml): weight-share ViT student (depth 6,
+repeated x2, embed 768, heads 24, patch 32) + weight-share text student
+(depth 4, repeated x2) distilling a ViT-B/32-architecture CLIP teacher with
+out_l1 + out_cos + cos_diff losses — forward(student+teacher) + backward +
+AdamW per step.  Teacher weights are fabricated (zero-egress environment);
+identical architecture means identical arithmetic cost.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the
+denominator is the driver-set north star of 8,000 pairs/sec/chip.
+
+    python bench.py            # full scale (TPU)
+    python bench.py --quick    # tiny scale (CPU sanity)
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+NORTH_STAR_PAIRS_PER_SEC = 8000.0
+
+
+def _fabricated_vit_b32(path: str):
+    """ViT-B/32-architecture CLIP checkpoint with random weights."""
+    if os.path.exists(path):
+        return path
+    from distillclip_tpu.tools.fabricate_teacher import make_clip_state_dict
+    import torch
+
+    sd = make_clip_state_dict(
+        vision_width=768, vision_layers=12, patch_size=32, image_resolution=224,
+        text_width=512, text_layers=12, context_length=77, vocab_size=49408,
+        embed_dim=512,
+    )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    torch.save(sd, path)
+    return path
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true", help="tiny CPU sanity run")
+    parser.add_argument("--batch", type=int, default=None, help="per-chip batch size")
+    parser.add_argument("--steps", type=int, default=20)
+    parser.add_argument("--warmup", type=int, default=3)
+    parser.add_argument("--stage", choices=["l_clip", "image", "text"], default="l_clip")
+    args = parser.parse_args()
+
+    if args.quick:
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    import jax
+
+    if args.quick:
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
+    import jax.numpy as jnp
+
+    from distillclip_tpu.models import RepeatTextTransformer, RepeatVisionTransformer
+    from distillclip_tpu.parallel import create_mesh, shard_batch
+    from distillclip_tpu.training import DistillTask, DualDistillTask
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    if args.quick:
+        teacher = _fabricated_teacher_quick(cache)
+        img_size, patch, embed, depth, heads = 32, 8, 64, 2, 4
+        txt_embed, txt_depth = 64, 2
+        batch = args.batch or 16
+        out_dim = 48
+    else:
+        teacher = _fabricated_vit_b32(os.path.join(cache, "bench_vit_b32.pt"))
+        # final l_clip.yaml student scale
+        img_size, patch, embed, depth, heads = 224, 32, 768, 6, 24
+        txt_embed, txt_depth = 768, 4
+        batch = args.batch or 256
+        out_dim = 512
+
+    image_student = RepeatVisionTransformer(
+        img_size=img_size, patch_size=patch, out_dim=out_dim, embed_dim=embed,
+        depth=depth, num_heads=heads, repeated_times=2, qkv_bias=True,
+        use_transform=True,
+    )
+    text_student = RepeatTextTransformer(
+        vocab_size=49408, context_length=77, out_dim=out_dim, embed_dim=txt_embed,
+        depth=txt_depth, num_heads=max(4, heads // 2), repeated_times=2,
+        use_transform=True,
+    )
+    task = DualDistillTask(
+        image_student=image_student,
+        text_student=text_student,
+        loss_control_para={
+            "loss_name": ["out_l1", "out_cos", "cos_diff"],
+            "loss_scale": {"cos_diff": 0.1},
+        },
+        teacher_name=teacher,
+        lr=1e-4, warm_steps=15, total_steps=300,
+    )
+
+    mesh = create_mesh()
+    n_chips = mesh.devices.size
+    rng = jax.random.PRNGKey(0)
+    global_batch = batch * n_chips
+
+    import numpy as np
+
+    images = np.random.default_rng(0).normal(size=(global_batch, img_size, img_size, 3)).astype(np.float32)
+    tokens = np.random.default_rng(1).integers(1, 49407, size=(global_batch, 77)).astype(np.int32)
+    tokens[:, -1] = 49407
+
+    state, tx = task.init_state(rng, jnp.asarray(tokens[:1]), jnp.asarray(images[:1]), steps_per_epoch=100)
+    step = task.make_train_step(mesh, tx)
+    b_images = shard_batch(mesh, jnp.asarray(images))
+    b_tokens = shard_batch(mesh, jnp.asarray(tokens))
+
+    for _ in range(args.warmup):
+        state, metrics = step(state, task.teacher_vars, b_tokens, b_images, rng)
+    jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = step(state, task.teacher_vars, b_tokens, b_images, rng)
+    jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = global_batch * args.steps / dt
+    pairs_per_sec_per_chip = pairs_per_sec / n_chips
+
+    print(json.dumps({
+        "metric": "image-text pairs/sec/chip (L-CLIP distill)",
+        "value": round(pairs_per_sec_per_chip, 2),
+        "unit": "pairs/s/chip",
+        "vs_baseline": round(pairs_per_sec_per_chip / NORTH_STAR_PAIRS_PER_SEC, 4),
+        "detail": {
+            "global_batch": global_batch,
+            "chips": n_chips,
+            "step_time_ms": round(dt / args.steps * 1000, 2),
+            "backend": jax.devices()[0].platform,
+            "quick": args.quick,
+        },
+    }))
+
+
+def _fabricated_teacher_quick(cache):
+    from distillclip_tpu.tools.fabricate_teacher import make_clip_state_dict
+    import torch
+
+    path = os.path.join(cache, "bench_tiny.pt")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        torch.save(make_clip_state_dict(), path)
+    return path
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,86 @@
+"""MSCOCO captions dataset (stage 3 data).
+
+Reference: data/component/ms_coco.py — torchvision CocoCaptions with
+train2017/val2017 split, first caption per image, RandAugment for train.
+This version reads the COCO annotation JSON directly (no torchvision).
+
+Batch dict: {'images': [B,224,224,3] f32 NHWC, 'tokens': [B,77] i32}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+from typing import Optional
+
+import numpy as np
+from PIL import Image
+
+from distillclip_tpu.data.loader import MapDataset
+from distillclip_tpu.data.tokenizer import build_tokenizer
+from distillclip_tpu.data.transforms import eval_image_transform, train_image_transform
+
+
+def load_coco_index(annotation_file: str):
+    """[(file_name, [captions...])] sorted by image id (CocoCaptions order)."""
+    with open(annotation_file) as f:
+        data = json.load(f)
+    id2file = {img["id"]: img["file_name"] for img in data["images"]}
+    id2captions = {}
+    for ann in data["annotations"]:
+        id2captions.setdefault(ann["image_id"], []).append(ann["caption"])
+    index = []
+    for img_id in sorted(id2file):
+        caps = id2captions.get(img_id)
+        if caps:
+            index.append((id2file[img_id], caps))
+    return index
+
+
+class COCODataset(MapDataset):
+    def __init__(
+        self,
+        root_path: str,
+        annotation_path: str,
+        need_type: str = "all",
+        train: bool = True,
+        image_size: int = 224,
+        context_length: int = 77,
+        bpe_path: Optional[str] = None,
+        rand_augment_ops: int = 4,
+    ):
+        if need_type not in ("all", "text", "image"):
+            raise ValueError(
+                "the mscoco dataset need_type parameter should is ['all', 'text', "
+                f"'image'], bug get {need_type}"
+            )
+        self.need_type = need_type
+        self.train = train
+        split = "train2017" if train else "val2017"
+        self.root = os.path.join(root_path, split)
+        ann = os.path.join(annotation_path, f"captions_{split}.json")
+        self.index = load_coco_index(ann)
+        self.tokenizer = build_tokenizer(bpe_path, context_length=context_length)
+        self.context_length = context_length
+        self.transform = (
+            train_image_transform(image_size, rand_augment_ops)
+            if train
+            else eval_image_transform(image_size)
+        )
+
+    def __len__(self):
+        return len(self.index)
+
+    def __getitem__(self, idx):
+        file_name, captions = self.index[idx]
+        tokens = self.tokenizer.tokenize(
+            captions[0], context_length=self.context_length
+        )[0]
+        if self.need_type == "text" and self.train:
+            return {"tokens": tokens}
+        img = Image.open(os.path.join(self.root, file_name))
+        image = self.transform(img)
+        if self.need_type == "image" and self.train:
+            return {"images": image}
+        return {"images": image, "tokens": tokens}

@@ -1,0 +1,166 @@
+"""L-CLIPScore batch inference — the serving path.
+
+The reference's inference fast path is CLIPModel(only_last_rep=True)
+(clip_model.py:45-49), wired via teacher_load(..., only_last_rep)
+(model/utils.py:169): encode image + caption, L2-normalize, cosine.
+
+Here that is a pair of jitted encoder applications with static batch
+buckets (pad-to-bucket keeps XLA from recompiling per request size) and a
+fused cosine kernel.  Throughput path: images arrive as NHWC uint8/float,
+text as tokens; per-pair score = cos(image_feature, text_feature).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distillclip_tpu.models import ControlFlags
+from distillclip_tpu.models.clip import l2_normalize
+
+_BUCKETS = (1, 8, 64, 256, 1024)
+
+
+def _bucket(n: int) -> int:
+    for b in _BUCKETS:
+        if n <= b:
+            return b
+    return ((n + _BUCKETS[-1] - 1) // _BUCKETS[-1]) * _BUCKETS[-1]
+
+
+@dataclasses.dataclass
+class LCLIPScorer:
+    image_module: Any
+    image_vars: Any
+    text_module: Any
+    text_vars: Any
+    tokenizer: Any
+    image_size: int = 224
+    context_length: int = 77
+    compute_dtype: Any = jnp.bfloat16
+
+    def __post_init__(self):
+        flags = ControlFlags()
+
+        @jax.jit
+        def encode_image(variables, images):
+            out = self.image_module.apply(
+                variables, images.astype(self.compute_dtype), flags, deterministic=True
+            )
+            return l2_normalize(out.last_representation.astype(jnp.float32))
+
+        @jax.jit
+        def encode_text(variables, tokens):
+            out = self.text_module.apply(variables, tokens, flags, deterministic=True)
+            return l2_normalize(out.last_representation.astype(jnp.float32))
+
+        self._encode_image = encode_image
+        self._encode_text = encode_text
+
+    # -- builders -----------------------------------------------------------
+
+    @classmethod
+    def from_teacher(cls, teacher_name: str = "ViT-B/32", download_root: str = "./.cache",
+                     bpe_path: Optional[str] = None):
+        """Score with the full CLIP teacher (reference CLIPScore baseline)."""
+        from distillclip_tpu.data.tokenizer import build_tokenizer
+        from distillclip_tpu.models.teacher import load_image_teacher, load_text_teacher
+
+        img_mod, img_vars = load_image_teacher(teacher_name, download_root)
+        txt_mod, txt_vars = load_text_teacher(teacher_name, download_root)
+        return cls(
+            image_module=img_mod, image_vars=img_vars,
+            text_module=txt_mod, text_vars=txt_vars,
+            tokenizer=build_tokenizer(bpe_path),
+        )
+
+    @classmethod
+    def from_checkpoints(cls, image_ckpt: Optional[str] = None,
+                         text_ckpt: Optional[str] = None,
+                         config: Optional[str] = None,
+                         bpe_path: Optional[str] = None,
+                         teacher_name: str = "ViT-B/32",
+                         download_root: str = "./.cache"):
+        """Build student towers from a config YAML and restore stage ckpts.
+
+        Without checkpoints this degrades to the CLIP-teacher scorer.
+        """
+        if image_ckpt is None and text_ckpt is None:
+            return cls.from_teacher(teacher_name, download_root, bpe_path)
+
+        import jax.random as jrandom
+        import yaml
+
+        from distillclip_tpu.config import instantiate
+        from distillclip_tpu.data.tokenizer import build_tokenizer
+        from distillclip_tpu.training.checkpoints import restore_tower_params
+
+        with open(config) as f:
+            cfg = yaml.safe_load(f)
+        init_args = cfg["model"]["init_args"]
+        image_tower = instantiate(init_args["image_student"])
+        text_tower = instantiate(init_args["text_student"])
+
+        image_size = getattr(image_tower, "img_size", getattr(image_tower, "input_resolution", 224))
+        ctx = getattr(text_tower, "context_length", 77)
+        rng = jrandom.PRNGKey(0)
+        img_params = image_tower.init(
+            rng, jnp.zeros((1, image_size, image_size, 3), jnp.float32), ControlFlags()
+        )["params"]
+        txt_params = text_tower.init(
+            rng, jnp.zeros((1, ctx), jnp.int32), ControlFlags()
+        )["params"]
+        img_params = restore_tower_params(image_ckpt, img_params)
+        txt_params = restore_tower_params(text_ckpt, txt_params)
+        return cls(
+            image_module=image_tower, image_vars={"params": img_params},
+            text_module=text_tower, text_vars={"params": txt_params},
+            tokenizer=build_tokenizer(bpe_path, context_length=ctx),
+            image_size=image_size, context_length=ctx,
+        )
+
+    # -- scoring ------------------------------------------------------------
+
+    def encode_images(self, images: np.ndarray) -> np.ndarray:
+        n = len(images)
+        b = _bucket(n)
+        if b != n:
+            images = np.concatenate(
+                [images, np.zeros((b - n,) + images.shape[1:], images.dtype)]
+            )
+        feats = self._encode_image(self.image_vars, jnp.asarray(images))
+        return np.asarray(feats)[:n]
+
+    def encode_captions(self, captions: Sequence[str]) -> np.ndarray:
+        tokens = self.tokenizer.tokenize(list(captions), context_length=self.context_length)
+        n = len(tokens)
+        b = _bucket(n)
+        if b != n:
+            tokens = np.concatenate([tokens, np.zeros((b - n, tokens.shape[1]), tokens.dtype)])
+        feats = self._encode_text(self.text_vars, jnp.asarray(tokens))
+        return np.asarray(feats)[:n]
+
+    def score_arrays(self, images: np.ndarray, captions: Sequence[str]) -> np.ndarray:
+        """Per-pair cosine L-CLIPScore for aligned (image, caption) lists."""
+        img_f = self.encode_images(images)
+        txt_f = self.encode_captions(captions)
+        return np.sum(img_f * txt_f, axis=1)
+
+    def score_files(self, image_paths: Sequence[str], captions: Sequence[str]) -> np.ndarray:
+        from PIL import Image
+
+        from distillclip_tpu.data.transforms import eval_image_transform
+
+        transform = eval_image_transform(self.image_size)
+        images = np.stack([transform(Image.open(str(p))) for p in image_paths])
+        return self.score_arrays(images, captions)
+
+    def similarity_matrix(self, images: np.ndarray, captions: Sequence[str]) -> np.ndarray:
+        """[N_img, N_txt] cosine matrix (retrieval-style scoring)."""
+        img_f = self.encode_images(images)
+        txt_f = self.encode_captions(captions)
+        return img_f @ txt_f.T

@@ -46,7 +46,7 @@ def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
         if template is None:
             return ckptr.restore(path)
         abstract = jax.tree_util.tree_map(
-            lambda x: jax.ShapeDtypeStruct(np.shape(x), x.dtype), template
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype), template
         )
         return ckptr.restore(path, abstract)
 

@@ -1,0 +1,279 @@
+"""Trainer: epoch loop, validation, checkpointing, early stopping.
+
+The orchestration half of what PyTorch Lightning provided the reference
+(Trainer.fit with callbacks, image.yaml:62-108):
+
+* epoch loop over a jitted, mesh-sharded train step,
+* validation every ``check_val_every_n_epoch`` with per-step metrics and
+  EPOCH-END full-corpus retrieval over all gathered embeddings
+  (distil_model.py:131-152),
+* teacher retrieval baseline logged at epoch 0 only (distil_model.py:149-151),
+* two-metric top-k checkpoints + last (CheckpointManager),
+* EarlyStopping(monitor='val_loss/loss', patience) (image.yaml:85-88),
+* LR monitoring (LearningRateMonitor equivalent),
+* ``unfreeze_epoch``: swaps to an unmasked train step at the boundary
+  (one re-jit — the reference mutates requires_grad,
+  distil_model.py:91-95).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Dict, Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from distillclip_tpu.parallel.mesh import create_mesh, shard_batch
+from distillclip_tpu.training import metrics as M
+from distillclip_tpu.training.checkpoints import CheckpointManager, restore_pytree
+from distillclip_tpu.training.logging import MetricLogger
+from distillclip_tpu.training.schedules import hf_cosine_with_warmup
+
+
+def _epoch_end_retrieval(reps_list, dual: bool):
+    """Full-corpus retrieval from per-batch gathered reps
+    (distil_model.py:131-152 / dual_distill_model.py:152-195)."""
+    cat = lambda key: np.concatenate([np.asarray(r[key]) for r in reps_list], axis=0)
+    out: Dict[str, float] = {}
+    if dual:
+        stu_img, stu_txt = cat("stu_image_outs"), cat("stu_text_outs")
+        tea_img, tea_txt = cat("tea_image_outs"), cat("tea_text_outs")
+        norm = lambda x: x / np.linalg.norm(x, axis=1, keepdims=True)
+        stu_logits = norm(stu_img) @ norm(stu_txt).T
+        tea_logits = norm(tea_img) @ norm(tea_txt).T
+        sit = norm(stu_img) @ norm(tea_txt).T
+        sti = norm(tea_img) @ norm(stu_txt).T
+        for k, v in M.topk_accuracy(jnp.asarray(stu_logits)).items():
+            out[f"val_stu_acc/stu_acc_top{k}"] = float(v)
+        for k, v in M.topk_accuracy(jnp.asarray(sit)).items():
+            out[f"val_stu_image_tea_text/stu_image_tea_text_top{k}"] = float(v)
+        for k, v in M.topk_accuracy(jnp.asarray(sti)).items():
+            out[f"val_stu_text_tea_image/stu_text_tea_image_top{k}"] = float(v)
+        tea = {f"val_tea_acc/tea_acc_top{k}": float(v)
+               for k, v in M.topk_accuracy(jnp.asarray(tea_logits)).items()}
+        return out, tea, stu_logits
+    stu = cat("student")
+    tea = cat("teacher")
+    contrary = cat("contrary_rep")
+    stu_logits, tea_logits = M.norm_and_logits(
+        jnp.asarray(contrary), jnp.asarray(stu), jnp.asarray(tea)
+    )[:2]
+    for k, v in M.topk_accuracy(stu_logits).items():
+        out[f"val_stu_acc/stu_acc_top{k}"] = float(v)
+    mean_score, softmax_score = M.diag_scores(stu_logits)
+    out["val_stu_score/stu_mean_score"] = float(mean_score)
+    out["val_stu_score/stu_softmax_mean_score"] = float(softmax_score)
+    tea_out = {f"val_tea_acc/tea_acc_top{k}": float(v)
+               for k, v in M.topk_accuracy(tea_logits).items()}
+    ms, ss = M.diag_scores(tea_logits)
+    tea_out["val_tea_score/tea_mean_score"] = float(ms)
+    tea_out["val_tea_score/tea_softmax_mean_score"] = float(ss)
+    return out, tea_out, np.asarray(stu_logits)
+
+
+@dataclasses.dataclass
+class Trainer:
+    max_epochs: int = 200
+    check_val_every_n_epoch: int = 1
+    log_every_n_steps: int = 100
+    result_dir: str = "./result"
+    run_name: str = "run"
+    seed: int = 2022
+    early_stopping_monitor: Optional[str] = "val_loss/loss"
+    early_stopping_patience: Optional[int] = None
+    deterministic_forward: bool = True
+    limit_train_batches: Optional[int] = None
+    limit_val_batches: Optional[int] = None
+
+    def fit(self, task, datamodule, ckpt_path: Optional[str] = None) -> Dict[str, Any]:
+        mesh = create_mesh()
+        logger = MetricLogger(self.result_dir, self.run_name)
+        ckpts = CheckpointManager(f"{self.result_dir}/{self.run_name}/checkpoints")
+
+        datamodule.prepare_data()
+        datamodule.setup("fit")
+        train_loader = datamodule.train_dataloader()
+        val_loader = datamodule.val_dataloader()
+        steps_per_epoch = len(train_loader) if hasattr(train_loader, "__len__") else 100
+        if self.limit_train_batches:
+            steps_per_epoch = min(steps_per_epoch, self.limit_train_batches)
+
+        dual = hasattr(task, "image_student")
+        rng = jax.random.PRNGKey(self.seed)
+
+        # --- state init from one sample batch ---
+        sample = next(iter(train_loader))
+        if dual:
+            state, tx = task.init_state(
+                rng, jnp.asarray(sample["tokens"][:1]), jnp.asarray(sample["images"][:1]),
+                steps_per_epoch,
+            )
+        else:
+            state, tx = task.init_state(rng, jnp.asarray(sample["inputs"][:1]), steps_per_epoch)
+        start_epoch = 0
+        if ckpt_path:
+            restored = restore_pytree(ckpt_path, {"state": state, "epoch": 0})
+            state = restored["state"]
+            start_epoch = int(restored["epoch"]) + 1
+
+        logger.log_hyperparams(
+            {
+                "task": type(task).__name__,
+                "loss": task.loss_control_para,
+                "lr": task.lr,
+                "weight_decay": task.weight_decay,
+                "max_epochs": self.max_epochs,
+                "steps_per_epoch": steps_per_epoch,
+                "devices": jax.device_count(),
+            }
+        )
+
+        train_step = task.make_train_step(
+            mesh, tx, deterministic=self.deterministic_forward
+        )
+        eval_step = task.make_eval_step(mesh)
+        unfrozen = False
+        lr_schedule = hf_cosine_with_warmup(task.lr, task.warm_steps, task.total_steps)
+
+        best = {}
+        es_best = float("inf")
+        es_count = 0
+        stop = False
+
+        for epoch in range(start_epoch, self.max_epochs):
+            # unfreeze boundary (distil_model.py:91-95)
+            if (
+                not unfrozen
+                and task.unfreeze_epoch
+                and epoch >= task.unfreeze_epoch
+            ):
+                train_step = task.make_train_step(
+                    mesh, tx, deterministic=self.deterministic_forward,
+                    trainable_mask=False,
+                )
+                unfrozen = True
+
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+
+            t_epoch = time.time()
+            n_items = 0
+            for i, batch in enumerate(train_loader):
+                if self.limit_train_batches and i >= self.limit_train_batches:
+                    break
+                batch = shard_batch(mesh, batch)
+                if dual:
+                    state, metrics = train_step(
+                        state, task.teacher_vars, batch["tokens"], batch["images"], rng
+                    )
+                else:
+                    state, metrics = train_step(
+                        state, task.teacher_vars, batch["inputs"], rng
+                    )
+                n_items += len(jax.tree_util.tree_leaves(batch)[0])
+                if i % self.log_every_n_steps == 0:
+                    logged = {f"train_loss/{k}": float(v) for k, v in metrics.items()}
+                    logged["epoch"] = epoch
+                    logged["lr"] = float(lr_schedule(epoch))
+                    logger.log_metrics(logged, int(state.step))
+            epoch_time = time.time() - t_epoch
+            logger.log_metrics(
+                {
+                    "perf/epoch_time_s": epoch_time,
+                    "perf/items_per_s": n_items / max(epoch_time, 1e-9),
+                },
+                int(state.step),
+            )
+
+            # --- validation ---
+            if (epoch + 1) % self.check_val_every_n_epoch and epoch != self.max_epochs - 1:
+                continue
+            val_metrics_acc: Dict[str, list] = {}
+            reps_list = []
+            for i, batch in enumerate(val_loader):
+                if self.limit_val_batches and i >= self.limit_val_batches:
+                    break
+                batch = shard_batch(mesh, batch)
+                if dual:
+                    metrics, reps = eval_step(
+                        state, task.teacher_vars, batch["tokens"], batch["images"]
+                    )
+                else:
+                    metrics, reps = eval_step(
+                        state, task.teacher_vars, batch["inputs"], batch["contrary"]
+                    )
+                for k, v in metrics.items():
+                    val_metrics_acc.setdefault(k, []).append(float(v))
+                reps_list.append(jax.device_get(reps))
+            if not reps_list:
+                continue
+            val_logged = {
+                f"val_loss/{k}" if "acc" not in k and "score" not in k else f"val_step/{k}": (
+                    float(np.mean(v))
+                )
+                for k, v in val_metrics_acc.items()
+            }
+            epoch_metrics, tea_metrics, _ = _epoch_end_retrieval(reps_list, dual)
+            val_logged.update(epoch_metrics)
+            if epoch == start_epoch:  # teacher baseline once (":149-151")
+                val_logged.update(tea_metrics)
+            val_logged["epoch"] = epoch
+            logger.log_metrics(val_logged, int(state.step))
+
+            # --- checkpoint (two-metric top-k + last) ---
+            ckpt_metrics = {
+                "stu_acc_top1": val_logged.get("val_stu_acc/stu_acc_top1", 0.0),
+                "loss": val_logged.get("val_loss/loss", 0.0),
+            }
+            ckpts.save_epoch(epoch, {"state": jax.device_get(state), "epoch": epoch}, ckpt_metrics)
+            best = {**best, **{k: v for k, v in logger.summary.items()}}
+
+            # --- early stopping (image.yaml:85-88) ---
+            if self.early_stopping_patience and self.early_stopping_monitor:
+                monitored = val_logged.get(
+                    self.early_stopping_monitor.replace("val_loss/loss", "val_loss/loss"),
+                    None,
+                )
+                if monitored is None:
+                    monitored = val_logged.get("val_loss/loss")
+                if monitored is not None:
+                    if monitored < es_best - 1e-12:
+                        es_best, es_count = monitored, 0
+                    else:
+                        es_count += 1
+                        if es_count >= self.early_stopping_patience:
+                            stop = True
+            if stop:
+                break
+
+        logger.close()
+        return {"state": state, "summary": logger.summary, "checkpoints": ckpts}
+
+    def validate(self, task, datamodule, state) -> Dict[str, float]:
+        mesh = create_mesh()
+        datamodule.prepare_data()
+        datamodule.setup("fit")
+        val_loader = datamodule.val_dataloader()
+        eval_step = task.make_eval_step(mesh)
+        dual = hasattr(task, "image_student")
+        reps_list = []
+        val_metrics_acc: Dict[str, list] = {}
+        for i, batch in enumerate(val_loader):
+            if self.limit_val_batches and i >= self.limit_val_batches:
+                break
+            batch = shard_batch(mesh, batch)
+            if dual:
+                metrics, reps = eval_step(state, task.teacher_vars, batch["tokens"], batch["images"])
+            else:
+                metrics, reps = eval_step(state, task.teacher_vars, batch["inputs"], batch["contrary"])
+            for k, v in metrics.items():
+                val_metrics_acc.setdefault(k, []).append(float(v))
+            reps_list.append(jax.device_get(reps))
+        out = {k: float(np.mean(v)) for k, v in val_metrics_acc.items()}
+        epoch_metrics, tea_metrics, _ = _epoch_end_retrieval(reps_list, dual)
+        out.update(epoch_metrics)
+        out.update(tea_metrics)
+        return out

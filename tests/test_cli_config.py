@@ -1,0 +1,94 @@
+"""Config system + CLI end-to-end on the smoke config."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+import yaml
+
+from distillclip_tpu.config import deep_merge, instantiate, load_configs
+from distillclip_tpu.models.repeat_vit import RepeatTextTransformer
+
+
+def test_deep_merge_override():
+    base = {"a": {"x": 1, "y": 2}, "b": [1, 2]}
+    over = {"a": {"y": 3}, "b": [9]}
+    merged = deep_merge(base, over)
+    assert merged == {"a": {"x": 1, "y": 3}, "b": [9]}
+
+
+def test_instantiate_reference_class_path():
+    node = {
+        "class_path": "model.component.weight_share_model.RepeatTextTransformer",
+        "init_args": {"depth": 2, "repeated_times": 2, "embed_dim": 32, "num_heads": 4},
+    }
+    obj = instantiate(node)
+    assert isinstance(obj, RepeatTextTransformer)
+    assert obj.depth == 2 and obj.repeated_times == 2
+
+
+def test_instantiate_rejects_unknown_arg():
+    node = {
+        "class_path": "model.component.weight_share_model.RepeatTextTransformer",
+        "init_args": {"depth": 2, "bogus_arg": 5},
+    }
+    with pytest.raises(TypeError):
+        instantiate(node)
+
+
+def test_instantiate_drops_null_droppables():
+    node = {
+        "class_path": "model.component.weight_share_model.RepeatVisionTransformer",
+        "init_args": {"depth": 2, "hybrid_backbone": None, "qk_scale": None,
+                      "embed_dim": 32, "num_heads": 4},
+    }
+    obj = instantiate(node)
+    assert obj.qk_scale is None
+
+
+@pytest.fixture(scope="module")
+def smoke_env(tmp_path_factory):
+    """Fabricated teacher + a shrunken smoke config in a temp dir."""
+    root = tmp_path_factory.mktemp("cli")
+    ckpt = root / "tiny_clip.pt"
+    from distillclip_tpu.tools.fabricate_teacher import make_clip_state_dict
+    import torch
+
+    torch.save(make_clip_state_dict(), str(ckpt))
+
+    with open("configs/smoke_text.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["init_args"]["teacher_name"] = str(ckpt)
+    cfg["data"]["init_args"]["dataset_para"]["size"] = 32
+    cfg["data"]["init_args"]["train_batch_size"] = 16
+    cfg["data"]["init_args"]["val_batch_size"] = 16
+    cfg["trainer"]["max_epochs"] = 1
+    cfg["trainer"]["logger"]["init_args"]["dir"] = str(root / "result")
+    cfg_path = root / "smoke.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return {"root": root, "config": str(cfg_path)}
+
+
+def test_cli_fit_and_validate(smoke_env):
+    from distillclip_tpu.cli import main
+
+    assert main(["fit", "-c", smoke_env["config"]]) == 0
+    result_dir = smoke_env["root"] / "result" / "smoke-text"
+    assert (result_dir / "config.yaml").exists()
+    assert (result_dir / "metrics.jsonl").exists()
+    ckpts = result_dir / "checkpoints"
+    assert (ckpts / "last").exists()
+    assert main(
+        ["validate", "-c", smoke_env["config"], "--ckpt", str(ckpts / "last")]
+    ) == 0
+
+
+def test_cli_requires_config():
+    from distillclip_tpu.cli import main
+
+    with pytest.raises(SystemExit):
+        main(["fit"])
