@@ -124,14 +124,21 @@ def main():
     b_images = shard_batch(mesh, jnp.asarray(images))
     b_tokens = shard_batch(mesh, jnp.asarray(tokens))
 
+    import numpy as _np
+
+    def fence(m):
+        # host readback is the only reliable completion fence on remote
+        # (tunneled) backends where block_until_ready returns at dispatch
+        return float(_np.asarray(m["loss"]))
+
     for _ in range(args.warmup):
         state, metrics = step(state, task.teacher_vars, b_tokens, b_images, rng)
-    jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
+    fence(metrics)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
         state, metrics = step(state, task.teacher_vars, b_tokens, b_images, rng)
-    jax.tree_util.tree_leaves(metrics)[0].block_until_ready()
+    fence(metrics)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = global_batch * args.steps / dt

@@ -85,6 +85,11 @@ class InstrumentedAttention(nn.Module):
     in-projection and per-tap branches are identical in math, but taps are
     gated by *static* ControlFlags so disabled branches never reach XLA.
 
+    Hot path: when no instrumentation is requested and dropout is inactive,
+    attention runs through the fused Pallas kernel
+    (distillclip_tpu/ops/flash_attention.py) — scores/probs never touch HBM.
+    The instrumented path materializes them (they ARE the product then).
+
     The additive attention mask (causal for text) uses a large negative
     finite constant instead of -inf: it behaves identically under softmax and
     avoids inf-arithmetic NaNs in bf16.  The downstream "-inf -> 0" score
@@ -95,6 +100,7 @@ class InstrumentedAttention(nn.Module):
     width: int
     heads: int
     drop_prob: float = 0.0
+    use_flash: bool = True
 
     @nn.compact
     def __call__(
@@ -102,6 +108,7 @@ class InstrumentedAttention(nn.Module):
         x: Array,
         flags: ControlFlags,
         mask: Optional[Array] = None,
+        causal: bool = False,
         deterministic: bool = True,
     ) -> AttentionOutput:
         B, N, D = x.shape
@@ -116,6 +123,23 @@ class InstrumentedAttention(nn.Module):
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
+        dropout_active = self.drop_prob > 0.0 and not deterministic
+        flash_ok = (
+            self.use_flash
+            and not flags.attn_tap()
+            and not dropout_active
+            and mask is None
+            and N <= 256
+        )
+
+        if flash_ok:
+            from distillclip_tpu.ops.flash_attention import flash_attention
+
+            ctx4 = flash_attention(q, k, v, causal=causal)
+            ctx = ctx4.transpose(0, 2, 1, 3).reshape(B, N, self.width).astype(x.dtype)
+            out = Dense(self.width, name="out_proj")(ctx)
+            return AttentionOutput(hidden=out)
+
         scale = 1.0 / jnp.sqrt(head_dim).astype(jnp.float32)
 
         value_map = None
@@ -127,12 +151,16 @@ class InstrumentedAttention(nn.Module):
 
         scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
         scores = scores * scale
+        if causal and mask is None:
+            from distillclip_tpu.models.transformer import causal_mask
+
+            mask = causal_mask(N)
         if mask is not None:
             scores = scores + mask.astype(scores.dtype)
 
         probs = jax.nn.softmax(scores, axis=-1)
         attn = probs
-        if self.drop_prob > 0.0 and not deterministic:
+        if dropout_active:
             attn = nn.Dropout(rate=self.drop_prob, deterministic=False)(attn)
 
         ctx = jnp.einsum(

@@ -128,6 +128,36 @@ class MiniAttention(nn.Module):
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
+        dropout_active = self.attn_drop > 0.0 and not deterministic
+        flash_ok = (
+            not flags.attn_tap()
+            and not dropout_active
+            and self.rpe_config is None
+            and N <= 256
+        )
+        if flash_ok:
+            # fused Pallas path — with use_transform the kernel applies the
+            # per-repeat cross-head mixes in VMEM (ops/flash_attention.py)
+            from distillclip_tpu.ops.flash_attention import flash_attention
+
+            transform = None
+            if self.use_transform:
+                conv_l = self.param(
+                    "conv_l", trunc_normal_02,
+                    (self.repeated_times, self.num_heads, self.num_heads), jnp.float32,
+                )
+                conv_w = self.param(
+                    "conv_w", trunc_normal_02,
+                    (self.repeated_times, self.num_heads, self.num_heads), jnp.float32,
+                )
+                transform = (conv_l[repeat_id], conv_w[repeat_id])
+            ctx4 = flash_attention(q, k, v, scale=scale, head_transform=transform)
+            out = ctx4.transpose(0, 2, 1, 3).reshape(B, N, C).astype(x.dtype)
+            out = StudentDense(C, name="proj")(out)
+            if self.proj_drop > 0.0 and not deterministic:
+                out = nn.Dropout(rate=self.proj_drop, deterministic=False)(out)
+            return AttentionOutput(hidden=out)
+
         value_map = None
         if flags.need_value_map:
             vm = jnp.einsum("bhnd,bhmd->bhnm", v, v, preferred_element_type=jnp.float32)

@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from distillclip_tpu.models.layers import Dense, LayerNorm
 from distillclip_tpu.models.outputs import ControlFlags, TextOutput
-from distillclip_tpu.models.transformer import Transformer, causal_mask
+from distillclip_tpu.models.transformer import Transformer
 
 Array = jax.Array
 
@@ -102,7 +102,6 @@ class TextTransformer(nn.Module):
         x = emb + positional_embedding.astype(emb.dtype)
         embedding = x if flags.need_emb else None
 
-        mask = causal_mask(self.context_length)
         t_out = Transformer(
             width=self.width,
             layers=self.layers,
@@ -110,7 +109,7 @@ class TextTransformer(nn.Module):
             need_layers=self.need_layers,
             drop_prob=self.drop_prob,
             name="transformer",
-        )(x, flags, mask=mask, deterministic=deterministic)
+        )(x, flags, causal=True, deterministic=deterministic)
 
         x = LayerNorm(name="ln_final")(t_out.hidden)
         text_projection = self.param(

@@ -30,6 +30,7 @@ class ResidualAttentionBlock(nn.Module):
     width: int
     heads: int
     drop_prob: float = 0.0
+    use_flash: bool = True
 
     @nn.compact
     def __call__(
@@ -37,11 +38,14 @@ class ResidualAttentionBlock(nn.Module):
         x: Array,
         flags: ControlFlags,
         mask: Optional[Array] = None,
+        causal: bool = False,
         deterministic: bool = True,
     ) -> AttentionOutput:
         attn_out = InstrumentedAttention(
-            width=self.width, heads=self.heads, drop_prob=self.drop_prob, name="attn"
-        )(LayerNorm(name="ln_1")(x), flags, mask=mask, deterministic=deterministic)
+            width=self.width, heads=self.heads, drop_prob=self.drop_prob,
+            use_flash=self.use_flash, name="attn",
+        )(LayerNorm(name="ln_1")(x), flags, mask=mask, causal=causal,
+          deterministic=deterministic)
         x = x + attn_out.hidden
         x = x + ClipMlp(width=self.width, name="mlp")(LayerNorm(name="ln_2")(x))
         return AttentionOutput(
@@ -71,6 +75,7 @@ class Transformer(nn.Module):
     heads: int
     need_layers: Optional[Sequence[int]] = None
     drop_prob: float = 0.0
+    use_flash: bool = True
 
     def selected_layers(self) -> Sequence[int]:
         return tuple(range(self.layers)) if self.need_layers is None else tuple(self.need_layers)
@@ -81,6 +86,7 @@ class Transformer(nn.Module):
         x: Array,
         flags: ControlFlags,
         mask: Optional[Array] = None,
+        causal: bool = False,
         deterministic: bool = True,
     ) -> TransformerOutput:
         selected = set(self.selected_layers())
@@ -91,8 +97,9 @@ class Transformer(nn.Module):
                 width=self.width,
                 heads=self.heads,
                 drop_prob=self.drop_prob,
+                use_flash=self.use_flash,
                 name=f"resblocks_{i}",
-            )(x, flags, mask=mask, deterministic=deterministic)
+            )(x, flags, mask=mask, causal=causal, deterministic=deterministic)
             x = block_out.hidden
             if i not in selected:
                 continue
