@@ -129,6 +129,7 @@ _TRAINER_KEYS = {
     "limit_train_batches": "limit_train_batches",
     "limit_val_batches": "limit_val_batches",
     "default_root_dir": "result_dir",
+    "profiler": "profiler",
 }
 
 

@@ -8,21 +8,29 @@ per layer, which measures ~570 MB/layer at B=128 and saturates HBM
 (~860 GB/s observed).  These kernels keep scores/probs entirely in VMEM:
 per layer only q,k,v in and out out touch HBM.
 
-Two forward kernels:
+Kernel architecture (v2): a per-(batch*head) grid drowns in grid-iteration
+overhead and 25%-utilized MXU tiles (measured slower than XLA), so G heads
+are PACKED along the sublane axis: one [G*Np, d] x [d, G*Np] matmul per
+program with a block-diagonal + causal + key-padding bias generated from
+iota in-register.  The off-diagonal (cross-head) blocks are masked to -1e9
+before softmax, making the subsequent p @ v_packed contraction exact.  The
+G-fold FLOP overspend is free — the op is bandwidth-bound by ~10x.
 
-* ``_attn_kernel``          — per-(batch*head) grid; optional causal mask.
-* ``_attn_transform_kernel`` — per-batch grid with ALL heads resident, for
-  the weight-share student's cross-head 1x1 transforms (reference
-  weight_share_model.py:114-121: ``conv_l`` on logits pre-softmax,
-  ``conv_w`` on probs post-softmax).  Head mixing makes per-head streaming
-  impossible; with N<=128 the whole [H, N, N] block fits in VMEM anyway.
+Two variants:
+
+* plain           — teacher towers and students without head transforms.
+* head-transform  — the weight-share student's cross-head 1x1 transforms
+  (reference weight_share_model.py:114-121: ``conv_l`` on logits
+  pre-softmax, ``conv_w`` on probs post-softmax).  Head mixing needs all
+  heads of a sample resident; the kernel keeps [H, Np, Np] scores in VMEM
+  and mixes via dot_general over the head axis.
 
 Backward passes are custom VJPs with Pallas kernels of the same shape
 (recompute scores in-VMEM from saved q,k,v + per-row logsumexp).
 
-Reference baseline: the reference relies on torch spda-style unfused
-attention (_common.py:51-95, weight_share_model.py:88-140); its only
-native-kernel hook is the optional iRPE CUDA gather (_irpe.py:8-11).
+Reference baseline: the reference relies on torch unfused attention
+(_common.py:51-95, weight_share_model.py:88-140); its only native-kernel
+hook is the optional iRPE CUDA gather (_irpe.py:8-11).
 """
 
 from __future__ import annotations
@@ -50,26 +58,44 @@ def _interpret() -> bool:
         return True
 
 
-def _causal_bias(n: int, dtype=jnp.float32) -> Array:
-    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    return jnp.where(col > row, jnp.float32(NEG_INF), 0.0).astype(dtype)
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _pick_group(bh: int, np_len: int, max_rows: int = 512) -> int:
+    """Heads packed per program: largest divisor of bh with G*Np <= max_rows."""
+    best = 1
+    for g in range(1, bh + 1):
+        if bh % g == 0 and g * np_len <= max_rows:
+            best = g
+    return best
+
+
+def _packed_bias(g: int, np_len: int, n: int, causal: bool) -> Array:
+    """[G*Np, G*Np] additive bias: block-diagonal, key-padding, causal."""
+    rows = g * np_len
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    ok = (row // np_len) == (col // np_len)
+    ok = jnp.logical_and(ok, (col % np_len) < n)
+    if causal:
+        ok = jnp.logical_and(ok, (col % np_len) <= (row % np_len))
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
-# plain per-(b,h) kernel
+# plain packed kernel
 # ---------------------------------------------------------------------------
 
 
-def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal):
-    q = q_ref[0].astype(jnp.float32)  # [N, d]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal, g, np_len, n):
+    q = q_ref[...]  # [G*Np, d] — keep input dtype (bf16): MXU accumulates f32
+    k = k_ref[...]
+    v = v_ref[...]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # [N, N]
-    if causal:
-        s = s + _causal_bias(s.shape[0])
+    ) * scale
+    s = s + _packed_bias(g, np_len, n, causal)
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=-1, keepdims=True)
@@ -77,96 +103,103 @@ def _attn_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal):
     o = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
-    o_ref[0] = o.astype(o_ref.dtype)
-    lse_ref[0] = (m[:, 0] + jnp.log(denom[:, 0]))[None, :]
+    o_ref[...] = o.astype(o_ref.dtype)
+    lse_ref[...] = (m + jnp.log(denom))  # [G*Np, 1]
 
 
-def _attn_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale, causal):
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-    do = do_ref[0].astype(jnp.float32)
-    lse = lse_ref[0][0]  # [N]
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, causal, g, np_len, n):
+    q = q_ref[...]
+    k = k_ref[...]
+    v = v_ref[...]
+    o = o_ref[...].astype(jnp.float32)
+    do32 = do_ref[...].astype(jnp.float32)
+    do = do_ref[...]
+    lse = lse_ref[...]  # [G*Np, 1]
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
-    if causal:
-        s = s + _causal_bias(s.shape[0])
-    p = jnp.exp(s - lse[:, None])  # [N, N]
+    s = s + _packed_bias(g, np_len, n, causal)
+    p = jnp.exp(s - lse)
+    pb = p.astype(q.dtype)
 
-    dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # p^T @ do
+    dv = jax.lax.dot_general(pb, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
     dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # do @ v^T
-    delta = jnp.sum(do * o, axis=-1, keepdims=True)  # [N,1]
-    ds = p * (dp - delta) * scale
+                             preferred_element_type=jnp.float32)
+    delta = jnp.sum(do32 * o, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale).astype(q.dtype)
     dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)  # ds^T @ q
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-    dk_ref[0] = dk.astype(dk_ref.dtype)
-    dv_ref[0] = dv.astype(dv_ref.dtype)
+                             preferred_element_type=jnp.float32)
+    dq_ref[...] = dq.astype(dq_ref.dtype)
+    dk_ref[...] = dk.astype(dk_ref.dtype)
+    dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _plain_fwd(q, k, v, scale, causal):
-    BH, N, D = q.shape
-    grid = (BH,)
-    blk = lambda: pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_shape = (
-        jax.ShapeDtypeStruct((BH, N, D), q.dtype),
-        jax.ShapeDtypeStruct((BH, 1, N), jnp.float32),
-    )
+def _plain_shapes(q):
+    BHN, D = q.shape[0], q.shape[2]
+    return BHN, D
+
+
+def _plain_fwd(qf, kf, vf, scale, causal, g, np_len, n):
+    """qf/kf/vf: [BH*Np, d] packed rows."""
+    rows_total, D = qf.shape
+    rows_blk = g * np_len
+    n_blocks = rows_total // rows_blk
+    blk = pl.BlockSpec((rows_blk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((rows_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     o, lse = pl.pallas_call(
-        functools.partial(_attn_fwd_kernel, scale=scale, causal=causal),
-        grid=grid,
-        in_specs=[blk(), blk(), blk()],
-        out_specs=(
-            blk(),
-            pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        functools.partial(_fwd_kernel, scale=scale, causal=causal, g=g,
+                          np_len=np_len, n=n),
+        grid=(n_blocks,),
+        in_specs=[blk, blk, blk],
+        out_specs=(blk, lse_blk),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_total, D), qf.dtype),
+            jax.ShapeDtypeStruct((rows_total, 1), jnp.float32),
         ),
-        out_shape=out_shape,
         interpret=_interpret(),
-    )(q, k, v)
+    )(qf, kf, vf)
     return o, lse
 
 
-def _plain_bwd(q, k, v, o, lse, do, scale, causal):
-    BH, N, D = q.shape
-    blk = lambda: pl.BlockSpec((1, N, D), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    lse_blk = pl.BlockSpec((1, 1, N), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
-    out_shape = tuple(jax.ShapeDtypeStruct((BH, N, D), q.dtype) for _ in range(3))
+def _plain_bwd(qf, kf, vf, of, lse, dof, scale, causal, g, np_len, n):
+    rows_total, D = qf.shape
+    rows_blk = g * np_len
+    n_blocks = rows_total // rows_blk
+    blk = pl.BlockSpec((rows_blk, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((rows_blk, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale, causal=causal),
-        grid=(BH,),
-        in_specs=[blk(), blk(), blk(), blk(), lse_blk, blk()],
-        out_specs=(blk(), blk(), blk()),
-        out_shape=out_shape,
+        functools.partial(_bwd_kernel, scale=scale, causal=causal, g=g,
+                          np_len=np_len, n=n),
+        grid=(n_blocks,),
+        in_specs=[blk, blk, blk, blk, lse_blk, blk],
+        out_specs=(blk, blk, blk),
+        out_shape=tuple(jax.ShapeDtypeStruct((rows_total, D), qf.dtype) for _ in range(3)),
         interpret=_interpret(),
-    )(q, k, v, o, lse, do)
+    )(qf, kf, vf, of, lse, dof)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _flash_bh(q, k, v, scale, causal):
-    o, _ = _plain_fwd(q, k, v, scale, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_packed(qf, kf, vf, scale, causal, g, np_len, n):
+    o, _ = _plain_fwd(qf, kf, vf, scale, causal, g, np_len, n)
     return o
 
 
-def _flash_bh_fwd(q, k, v, scale, causal):
-    o, lse = _plain_fwd(q, k, v, scale, causal)
-    return o, (q, k, v, o, lse)
+def _flash_packed_fwd(qf, kf, vf, scale, causal, g, np_len, n):
+    o, lse = _plain_fwd(qf, kf, vf, scale, causal, g, np_len, n)
+    return o, (qf, kf, vf, o, lse)
 
 
-def _flash_bh_bwd(scale, causal, res, do):
-    q, k, v, o, lse = res
-    dq, dk, dv = _plain_bwd(q, k, v, o, lse, do, scale, causal)
-    return dq, dk, dv
+def _flash_packed_bwd(scale, causal, g, np_len, n, res, do):
+    qf, kf, vf, o, lse = res
+    return _plain_bwd(qf, kf, vf, o, lse, do, scale, causal, g, np_len, n)
 
 
-_flash_bh.defvjp(_flash_bh_fwd, _flash_bh_bwd)
+_flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
 # ---------------------------------------------------------------------------
@@ -174,75 +207,95 @@ _flash_bh.defvjp(_flash_bh_fwd, _flash_bh_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _attn_tf_fwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, *, scale, causal):
-    H, N, D = q_ref.shape[1], q_ref.shape[2], q_ref.shape[3]
-    q = q_ref[0].astype(jnp.float32)  # [H, N, d]
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    ) * scale  # [H, N, N]
-    # pre-softmax head mix: s'[h] = sum_g Wl[h,g] s[g]  (conv_l, :114-115).
-    # Mosaic cannot reshape [H,N,N]->[H,N*N]; contract the head axis with
-    # dot_general instead (lhs [H,H] x rhs [H,N,N] over rhs dim 0).
-    wl = wl_ref[...].astype(jnp.float32)  # [H, H]
-    s2 = jax.lax.dot_general(
-        wl, s, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [H, N, N]
-    if causal:
-        s2 = s2 + _causal_bias(N)[None]
-    p = jax.nn.softmax(s2, axis=-1)
-    # post-softmax head mix (conv_w, :120-121)
-    ww = ww_ref[...].astype(jnp.float32)
-    p2 = jax.lax.dot_general(
-        ww, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ).astype(v.dtype)
-    o = jax.lax.dot_general(
-        p2, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
-    )
-    o_ref[0] = o.astype(o_ref.dtype)
+def _tf_fwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, *, scale, causal,
+                   gb, h, np_len, n):
+    def body(b, _):
+        q = q_ref[b]  # [H, Np, d]
+        k = k_ref[b]
+        v = v_ref[b]
+        s = jax.lax.dot_general(
+            q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        ) * scale  # [H, Np, Np]
+        # head mixes as 2D matmuls over a [H, Np*Np] view (tile-aligned
+        # reshape; rank-3 dot_general is not lowerable by Mosaic)
+        wl = wl_ref[...].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            wl, s.reshape(h, np_len * np_len), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(h, np_len, np_len)
+        col = jax.lax.broadcasted_iota(jnp.int32, (np_len, np_len), 1)
+        ok = col < n
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, (np_len, np_len), 0)
+            ok = jnp.logical_and(ok, col <= row)
+        s = s + jnp.where(ok, 0.0, NEG_INF)[None].astype(jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)
+        ww = ww_ref[...].astype(jnp.float32)
+        p = jax.lax.dot_general(
+            ww, p.reshape(h, np_len * np_len), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(h, np_len, np_len).astype(v.dtype)
+        o = jax.lax.dot_general(
+            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+        )
+        o_ref[b] = o.astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, gb, body, 0, unroll=True)
 
 
-def _tf_fwd(q, k, v, wl, ww, scale, causal):
-    B, H, N, D = q.shape
-    blk = lambda: pl.BlockSpec((1, H, N, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
+def _tf_fwd(q, k, v, wl, ww, scale, causal, n):
+    B, H, Np, D = q.shape
+    gb = 1
+    for cand in (8, 4, 2, 1):
+        if B % cand == 0:
+            gb = cand
+            break
+    blk = pl.BlockSpec((gb, H, Np, D), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM)
     w_blk = pl.BlockSpec((H, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_attn_tf_fwd_kernel, scale=scale, causal=causal),
-        grid=(B,),
-        in_specs=[blk(), blk(), blk(), w_blk, w_blk],
-        out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((B, H, N, D), q.dtype),
+        functools.partial(_tf_fwd_kernel, scale=scale, causal=causal, gb=gb,
+                          h=H, np_len=Np, n=n),
+        grid=(B // gb,),
+        in_specs=[blk, blk, blk, w_blk, w_blk],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
         interpret=_interpret(),
     )(q, k, v, wl, ww)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _flash_tf(q, k, v, wl, ww, scale, causal):
-    return _tf_fwd(q, k, v, wl, ww, scale, causal)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _flash_tf(q, k, v, wl, ww, scale, causal, n):
+    return _tf_fwd(q, k, v, wl, ww, scale, causal, n)
 
 
-def _flash_tf_fwd(q, k, v, wl, ww, scale, causal):
-    o = _tf_fwd(q, k, v, wl, ww, scale, causal)
+def _flash_tf_fwd(q, k, v, wl, ww, scale, causal, n):
+    o = _tf_fwd(q, k, v, wl, ww, scale, causal, n)
     return o, (q, k, v, wl, ww)
 
 
-def _flash_tf_bwd(scale, causal, res, do):
+def _flash_tf_bwd(scale, causal, n, res, do):
     """XLA recompute backward for the transform variant.
 
-    The double head-mix entangles heads; a hand-rolled Pallas backward is a
-    later optimization — this recompute path already avoids the fp32 HBM
-    score round-trips of the naive forward+backward pair since the forward
-    never stored them.
+    The double head-mix entangles heads; the recompute path still avoids the
+    fp32 HBM score round-trips of a naive forward+backward pair because the
+    forward never stored them.
     """
     q, k, v, wl, ww = res
+    Np = q.shape[2]
 
     def fwd(q, k, v, wl, ww):
         f32 = jnp.float32
         s = jnp.einsum("bhnd,bhmd->bhnm", q.astype(f32), k.astype(f32)) * scale
         s = jnp.einsum("hg,bgnm->bhnm", wl.astype(f32), s)
+        col = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 1)
+        ok = col < n
         if causal:
-            s = s + _causal_bias(s.shape[-1])[None, None]
+            row = jax.lax.broadcasted_iota(jnp.int32, (Np, Np), 0)
+            ok = jnp.logical_and(ok, col <= row)
+        s = s + jnp.where(ok, 0.0, NEG_INF)[None, None]
         p = jax.nn.softmax(s, axis=-1)
         p = jnp.einsum("hg,bgnm->bhnm", ww.astype(f32), p)
         return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v).astype(q.dtype)
@@ -278,13 +331,28 @@ def flash_attention(
         scale = 1.0 / math.sqrt(D)
     if N > 256:
         raise ValueError(f"short-sequence fused attention requires N<=256, got {N}")
+
+    np_len = _round_up(N, 64)
+    pad = np_len - N
+
     if head_transform is not None:
         wl, ww = head_transform
-        return _flash_tf(q, k, v, wl, ww, float(scale), bool(causal))
-    qf = q.reshape(B * H, N, D)
-    kf = k.reshape(B * H, N, D)
-    vf = v.reshape(B * H, N, D)
-    return _flash_bh(qf, kf, vf, float(scale), bool(causal)).reshape(B, H, N, D)
+        if pad:
+            padcfg = ((0, 0), (0, 0), (0, pad), (0, 0))
+            q, k, v = (jnp.pad(t, padcfg) for t in (q, k, v))
+        o = _flash_tf(q, k, v, wl, ww, float(scale), bool(causal), N)
+        return o[:, :, :N]
+
+    g = _pick_group(B * H, np_len)
+    if pad:
+        padcfg = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q, k, v = (jnp.pad(t, padcfg) for t in (q, k, v))
+    qf = q.reshape(B * H * np_len, D)
+    kf = k.reshape(B * H * np_len, D)
+    vf = v.reshape(B * H * np_len, D)
+    of = _flash_packed(qf, kf, vf, float(scale), bool(causal), g, np_len, N)
+    o = of.reshape(B, H, np_len, D)
+    return o[:, :, :N]
 
 
 def reference_attention(
@@ -301,7 +369,9 @@ def reference_attention(
     if head_transform is not None:
         s = jnp.einsum("hg,bgnm->bhnm", head_transform[0].astype(s.dtype), s)
     if causal:
-        s = s + _causal_bias(N)[None, None]
+        row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        s = s + jnp.where(col > row, NEG_INF, 0.0)[None, None]
     p = jax.nn.softmax(s, axis=-1)
     if head_transform is not None:
         p = jnp.einsum("hg,bgnm->bhnm", head_transform[1].astype(p.dtype), p)

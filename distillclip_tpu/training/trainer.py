@@ -87,11 +87,15 @@ class Trainer:
     deterministic_forward: bool = True
     limit_train_batches: Optional[int] = None
     limit_val_batches: Optional[int] = None
+    profiler: Optional[str] = None  # None | 'simple' | 'trace'
 
     def fit(self, task, datamodule, ckpt_path: Optional[str] = None) -> Dict[str, Any]:
+        from distillclip_tpu.training.profiling import build_profiler
+
         mesh = create_mesh()
         logger = MetricLogger(self.result_dir, self.run_name)
         ckpts = CheckpointManager(f"{self.result_dir}/{self.run_name}/checkpoints")
+        prof = build_profiler(self.profiler, f"{self.result_dir}/{self.run_name}")
 
         datamodule.prepare_data()
         datamodule.setup("fit")
@@ -164,15 +168,19 @@ class Trainer:
             for i, batch in enumerate(train_loader):
                 if self.limit_train_batches and i >= self.limit_train_batches:
                     break
-                batch = shard_batch(mesh, batch)
-                if dual:
-                    state, metrics = train_step(
-                        state, task.teacher_vars, batch["tokens"], batch["images"], rng
-                    )
-                else:
-                    state, metrics = train_step(
-                        state, task.teacher_vars, batch["inputs"], rng
-                    )
+                prof.maybe_start()
+                with prof.profile("host_to_device"):
+                    batch = shard_batch(mesh, batch)
+                with prof.profile("train_step"):
+                    if dual:
+                        state, metrics = train_step(
+                            state, task.teacher_vars, batch["tokens"], batch["images"], rng
+                        )
+                    else:
+                        state, metrics = train_step(
+                            state, task.teacher_vars, batch["inputs"], rng
+                        )
+                prof.step()
                 n_items += len(jax.tree_util.tree_leaves(batch)[0])
                 if i % self.log_every_n_steps == 0:
                     logged = {f"train_loss/{k}": float(v) for k, v in metrics.items()}
@@ -249,6 +257,7 @@ class Trainer:
             if stop:
                 break
 
+        prof.write()
         logger.close()
         return {"state": state, "summary": logger.summary, "checkpoints": ckpts}
 
