@@ -60,6 +60,9 @@ def main():
 
     import jax
 
+    from distillclip_tpu.runtime import setup_cache
+
+    setup_cache()
     if args.quick:
         try:
             jax.config.update("jax_platforms", "cpu")

@@ -107,6 +107,9 @@ def cmd_score(args) -> int:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from distillclip_tpu.runtime import setup_cache
+
+    setup_cache()
     parser = argparse.ArgumentParser(prog="distillclip")
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -207,8 +207,16 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 # ---------------------------------------------------------------------------
 
 
-def _tf_fwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, *, scale, causal,
-                   gb, h, np_len, n):
+def _tf_fwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, s3_ref, f2_ref,
+                   *, scale, causal, gb, h, np_len, n):
+    """Head-transform forward.
+
+    Mosaic cannot shape-cast a batched-dot result [H,Np,Np]->[H,Np*Np]
+    directly (layout-dependent), so values round-trip through VMEM scratch
+    refs (s3_ref rank-3, f2_ref rank-2) to normalize the layout before the
+    2D head-mix matmuls.
+    """
+
     def body(b, _):
         q = q_ref[b]  # [H, Np, d]
         k = k_ref[b]
@@ -216,29 +224,31 @@ def _tf_fwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, *, scale, causal,
         s = jax.lax.dot_general(
             q, k, (((2,), (2,)), ((0,), (0,))), preferred_element_type=jnp.float32
         ) * scale  # [H, Np, Np]
-        # head mixes as 2D matmuls over a [H, Np*Np] view (tile-aligned
-        # reshape; rank-3 dot_general is not lowerable by Mosaic)
+        s3_ref[...] = s
+        s_flat = s3_ref[...].reshape(h, np_len * np_len)
         wl = wl_ref[...].astype(jnp.float32)
-        s = jax.lax.dot_general(
-            wl, s.reshape(h, np_len * np_len), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(h, np_len, np_len)
+        f2_ref[...] = jax.lax.dot_general(
+            wl, s_flat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        s2 = f2_ref[...].reshape(h, np_len, np_len)
         col = jax.lax.broadcasted_iota(jnp.int32, (np_len, np_len), 1)
         ok = col < n
         if causal:
             row = jax.lax.broadcasted_iota(jnp.int32, (np_len, np_len), 0)
             ok = jnp.logical_and(ok, col <= row)
-        s = s + jnp.where(ok, 0.0, NEG_INF)[None].astype(jnp.float32)
-        m = jnp.max(s, axis=-1, keepdims=True)
-        e = jnp.exp(s - m)
+        s2 = s2 + jnp.where(ok, 0.0, NEG_INF)[None].astype(jnp.float32)
+        m = jnp.max(s2, axis=-1, keepdims=True)
+        e = jnp.exp(s2 - m)
         p = e / jnp.sum(e, axis=-1, keepdims=True)
+        s3_ref[...] = p
+        p_flat = s3_ref[...].reshape(h, np_len * np_len)
         ww = ww_ref[...].astype(jnp.float32)
-        p = jax.lax.dot_general(
-            ww, p.reshape(h, np_len * np_len), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(h, np_len, np_len).astype(v.dtype)
+        f2_ref[...] = jax.lax.dot_general(
+            ww, p_flat, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        p2 = f2_ref[...].reshape(h, np_len, np_len).astype(v.dtype)
         o = jax.lax.dot_general(
-            p, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
+            p2, v, (((2,), (1,)), ((0,), (0,))), preferred_element_type=jnp.float32
         )
         o_ref[b] = o.astype(o_ref.dtype)
         return 0
@@ -262,6 +272,10 @@ def _tf_fwd(q, k, v, wl, ww, scale, causal, n):
         in_specs=[blk, blk, blk, w_blk, w_blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((B, H, Np, D), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((H, Np, Np), jnp.float32),
+            pltpu.VMEM((H, Np * Np), jnp.float32),
+        ],
         interpret=_interpret(),
     )(q, k, v, wl, ww)
 
@@ -336,6 +350,17 @@ def flash_attention(
     pad = np_len - N
 
     if head_transform is not None:
+        # KNOWN LIMITATION: the head-transform kernel needs a
+        # [H, Np, Np] -> [H, Np*Np] view for the MXU head-mix, which
+        # Mosaic's layout inference rejects when the source is a batched-dot
+        # output (store/load round-trips get forwarded away).  On hardware
+        # the transform path therefore runs the unfused XLA math; the kernel
+        # stays live in interpret mode and tests for when Mosaic grows the
+        # relayout.
+        if not _interpret():
+            return reference_attention(
+                q, k, v, scale=scale, causal=causal, head_transform=head_transform
+            )
         wl, ww = head_transform
         if pad:
             padcfg = ((0, 0), (0, 0), (0, pad), (0, 0))
