@@ -75,6 +75,8 @@ def main():
     from distillclip_tpu.parallel import create_mesh, shard_batch
     from distillclip_tpu.training import DistillTask, DualDistillTask
 
+    import numpy as np
+
     cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
     if args.quick:
         teacher = _fabricated_teacher_quick(cache)
@@ -100,32 +102,45 @@ def main():
         depth=txt_depth, num_heads=max(4, heads // 2), repeated_times=2,
         use_transform=True,
     )
-    task = DualDistillTask(
-        image_student=image_student,
-        text_student=text_student,
-        loss_control_para={
-            "loss_name": ["out_l1", "out_cos", "cos_diff"],
-            "loss_scale": {"cos_diff": 0.1},
-        },
-        teacher_name=teacher,
-        lr=1e-4, warm_steps=15, total_steps=300,
-    )
-
     mesh = create_mesh()
     n_chips = mesh.devices.size
     rng = jax.random.PRNGKey(0)
     global_batch = batch * n_chips
 
-    import numpy as np
-
     images = np.random.default_rng(0).normal(size=(global_batch, img_size, img_size, 3)).astype(np.float32)
     tokens = np.random.default_rng(1).integers(1, 49407, size=(global_batch, 77)).astype(np.int32)
     tokens[:, -1] = 49407
 
-    state, tx = task.init_state(rng, jnp.asarray(tokens[:1]), jnp.asarray(images[:1]), steps_per_epoch=100)
-    step = task.make_train_step(mesh, tx)
-    b_images = shard_batch(mesh, jnp.asarray(images))
-    b_tokens = shard_batch(mesh, jnp.asarray(tokens))
+    if args.stage == "l_clip":
+        task = DualDistillTask(
+            image_student=image_student,
+            text_student=text_student,
+            loss_control_para={
+                "loss_name": ["out_l1", "out_cos", "cos_diff"],
+                "loss_scale": {"cos_diff": 0.1},
+            },
+            teacher_name=teacher,
+            lr=1e-4, warm_steps=15, total_steps=300,
+        )
+        state, tx = task.init_state(rng, jnp.asarray(tokens[:1]), jnp.asarray(images[:1]), steps_per_epoch=100)
+        step_fn = task.make_train_step(mesh, tx)
+        b_images = shard_batch(mesh, jnp.asarray(images))
+        b_tokens = shard_batch(mesh, jnp.asarray(tokens))
+        step = lambda st: step_fn(st, task.teacher_vars, b_tokens, b_images, rng)
+    else:
+        single = DistillTask(
+            student=image_student if args.stage == "image" else text_student,
+            loss_control_para={"loss_name": ["out_l1", "out_cos"]},
+            teacher_name=teacher,
+            model_type=args.stage,
+            lr=5e-3, warm_steps=10, total_steps=200,
+        )
+        task = single
+        inputs = images if args.stage == "image" else tokens
+        state, tx = task.init_state(rng, jnp.asarray(inputs[:1]), steps_per_epoch=100)
+        step_fn = task.make_train_step(mesh, tx)
+        b_inputs = shard_batch(mesh, jnp.asarray(inputs))
+        step = lambda st: step_fn(st, task.teacher_vars, b_inputs, rng)
 
     import numpy as _np
 
@@ -135,24 +150,30 @@ def main():
         return float(_np.asarray(m["loss"]))
 
     for _ in range(args.warmup):
-        state, metrics = step(state, task.teacher_vars, b_tokens, b_images, rng)
+        state, metrics = step(state)
     fence(metrics)
 
     t0 = time.perf_counter()
     for _ in range(args.steps):
-        state, metrics = step(state, task.teacher_vars, b_tokens, b_images, rng)
+        state, metrics = step(state)
     fence(metrics)
     dt = time.perf_counter() - t0
 
     pairs_per_sec = global_batch * args.steps / dt
     pairs_per_sec_per_chip = pairs_per_sec / n_chips
 
+    metric_name = {
+        "l_clip": "image-text pairs/sec/chip (L-CLIP distill)",
+        "image": "images/sec/chip (stage-1 distill)",
+        "text": "captions/sec/chip (stage-2 distill)",
+    }[args.stage]
     print(json.dumps({
-        "metric": "image-text pairs/sec/chip (L-CLIP distill)",
+        "metric": metric_name,
         "value": round(pairs_per_sec_per_chip, 2),
         "unit": "pairs/s/chip",
         "vs_baseline": round(pairs_per_sec_per_chip / NORTH_STAR_PAIRS_PER_SEC, 4),
         "detail": {
+            "stage": args.stage,
             "global_batch": global_batch,
             "chips": n_chips,
             "step_time_ms": round(dt / args.steps * 1000, 2),

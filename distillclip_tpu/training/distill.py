@@ -184,6 +184,12 @@ class DistillTask:
     def _forward(self, params, teacher_vars, inputs, rng, deterministic: bool):
         """Student + stop-grad teacher forward (distil_model.py:81-89)."""
         compute_params = cast_to_compute(params["student"], self._dtype)
+        teacher_vars = jax.tree_util.tree_map(
+            lambda x: x.astype(self._dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            teacher_vars,
+        )  # frozen teacher runs in the compute dtype (bf16 MXU rate)
         rngs = None
         if not deterministic:
             d_rng, p_rng = jax.random.split(rng)

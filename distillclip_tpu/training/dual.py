@@ -201,6 +201,12 @@ class DualDistillTask:
 
     def _forward(self, params, teacher_vars, tokens, images, rng, deterministic):
         compute_params = cast_to_compute(params["student"], self._dtype)
+        teacher_vars = jax.tree_util.tree_map(
+            lambda x: x.astype(self._dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            teacher_vars,
+        )  # frozen teacher runs in the compute dtype (bf16 MXU rate)
         rngs = None
         if not deterministic:
             d, p = jax.random.split(rng)
