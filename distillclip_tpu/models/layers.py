@@ -109,6 +109,7 @@ class InstrumentedAttention(nn.Module):
         flags: ControlFlags,
         mask: Optional[Array] = None,
         causal: bool = False,
+        kv_len: Optional[int] = None,
         deterministic: bool = True,
     ) -> AttentionOutput:
         B, N, D = x.shape
@@ -118,10 +119,6 @@ class InstrumentedAttention(nn.Module):
 
         # Fused in-projection: one [D, 3D] matmul keeps the MXU busy.
         qkv = Dense(3 * self.width, name="in_proj")(x)
-        qkv = qkv.reshape(B, N, 3, self.heads, head_dim)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, d]
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
         dropout_active = self.drop_prob > 0.0 and not deterministic
         flash_ok = (
@@ -132,10 +129,31 @@ class InstrumentedAttention(nn.Module):
             and N <= 256
         )
 
+        if flash_ok and N % 16 == 0:
+            # rows-layout kernel: q/k/v stay in the lane-dense [B, N, H*d]
+            # layout the projection produced — no transposes, no lane padding
+            from distillclip_tpu.ops.flash_attention import flash_attention_rows
+
+            ctx = flash_attention_rows(
+                qkv[..., : self.width],
+                qkv[..., self.width : 2 * self.width],
+                qkv[..., 2 * self.width :],
+                heads=self.heads,
+                causal=causal,
+                kv_len=kv_len,
+            )
+            out = Dense(self.width, name="out_proj")(ctx.astype(x.dtype))
+            return AttentionOutput(hidden=out)
+
+        qkv = qkv.reshape(B, N, 3, self.heads, head_dim)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, d]
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
         if flash_ok:
             from distillclip_tpu.ops.flash_attention import flash_attention
 
-            ctx4 = flash_attention(q, k, v, causal=causal)
+            ctx4 = flash_attention(q, k, v, causal=causal, kv_len=kv_len)
             ctx = ctx4.transpose(0, 2, 1, 3).reshape(B, N, self.width).astype(x.dtype)
             out = Dense(self.width, name="out_proj")(ctx)
             return AttentionOutput(hidden=out)
@@ -157,6 +175,9 @@ class InstrumentedAttention(nn.Module):
             mask = causal_mask(N)
         if mask is not None:
             scores = scores + mask.astype(scores.dtype)
+        if kv_len is not None and kv_len < N:
+            col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            scores = scores + jnp.where(col < kv_len, 0.0, -1e9)[None, None]
 
         probs = jax.nn.softmax(scores, axis=-1)
         attn = probs

@@ -102,6 +102,15 @@ class TextTransformer(nn.Module):
         x = emb + positional_embedding.astype(emb.dtype)
         embedding = x if flags.need_emb else None
 
+        # sequence-level pad to a sublane-aligned length (see vit.py); pad
+        # keys are masked via kv_len, pad queries are causal-masked anyway
+        N = x.shape[1]
+        pad_ok = not flags.attn_tap() and not flags.need_rep
+        Np = -(-N // 16) * 16 if pad_ok else N
+        kv_len = N if (pad_ok and Np != N) else None
+        if Np != N:
+            x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+
         t_out = Transformer(
             width=self.width,
             layers=self.layers,
@@ -109,9 +118,10 @@ class TextTransformer(nn.Module):
             need_layers=self.need_layers,
             drop_prob=self.drop_prob,
             name="transformer",
-        )(x, flags, causal=True, deterministic=deterministic)
+        )(x, flags, causal=True, kv_len=kv_len, deterministic=deterministic)
 
-        x = LayerNorm(name="ln_final")(t_out.hidden)
+        hidden = t_out.hidden[:, :N] if Np != N else t_out.hidden
+        x = LayerNorm(name="ln_final")(hidden)
         text_projection = self.param(
             "text_projection",
             nn.initializers.normal(stddev=self.width ** -0.5),

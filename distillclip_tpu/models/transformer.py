@@ -39,13 +39,14 @@ class ResidualAttentionBlock(nn.Module):
         flags: ControlFlags,
         mask: Optional[Array] = None,
         causal: bool = False,
+        kv_len: Optional[int] = None,
         deterministic: bool = True,
     ) -> AttentionOutput:
         attn_out = InstrumentedAttention(
             width=self.width, heads=self.heads, drop_prob=self.drop_prob,
             use_flash=self.use_flash, name="attn",
         )(LayerNorm(name="ln_1")(x), flags, mask=mask, causal=causal,
-          deterministic=deterministic)
+          kv_len=kv_len, deterministic=deterministic)
         x = x + attn_out.hidden
         x = x + ClipMlp(width=self.width, name="mlp")(LayerNorm(name="ln_2")(x))
         return AttentionOutput(
@@ -87,6 +88,7 @@ class Transformer(nn.Module):
         flags: ControlFlags,
         mask: Optional[Array] = None,
         causal: bool = False,
+        kv_len: Optional[int] = None,
         deterministic: bool = True,
     ) -> TransformerOutput:
         selected = set(self.selected_layers())
@@ -99,7 +101,8 @@ class Transformer(nn.Module):
                 drop_prob=self.drop_prob,
                 use_flash=self.use_flash,
                 name=f"resblocks_{i}",
-            )(x, flags, mask=mask, causal=causal, deterministic=deterministic)
+            )(x, flags, mask=mask, causal=causal, kv_len=kv_len,
+              deterministic=deterministic)
             x = block_out.hidden
             if i not in selected:
                 continue

@@ -87,6 +87,18 @@ class VisionTransformer(nn.Module):
         embedding = x if flags.need_emb else None
 
         x = LayerNorm(name="ln_pre")(x)
+
+        # Sequence-level padding: pad ONCE to a sublane-aligned length and
+        # run every layer tile-aligned; the attention kernel masks the pad
+        # keys via kv_len.  Skipped when per-layer taps are requested (their
+        # shapes are part of the loss contract).
+        N = x.shape[1]
+        pad_ok = not flags.attn_tap() and not flags.need_rep
+        Np = -(-N // 16) * 16 if pad_ok else N
+        kv_len = N if (pad_ok and Np != N) else None
+        if Np != N:
+            x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
+
         t_out = Transformer(
             width=self.width,
             layers=self.layers,
@@ -94,8 +106,9 @@ class VisionTransformer(nn.Module):
             need_layers=self.need_layers,
             drop_prob=self.drop_prob,
             name="transformer",
-        )(x, flags, mask=None, deterministic=deterministic)
-        x = LayerNorm(name="ln_post")(t_out.hidden)
+        )(x, flags, mask=None, kv_len=kv_len, deterministic=deterministic)
+        hidden = t_out.hidden[:, :N] if Np != N else t_out.hidden
+        x = LayerNorm(name="ln_post")(hidden)
 
         proj = self.param(
             "proj", nn.initializers.normal(stddev=scale), (self.width, self.output_dim), jnp.float32

@@ -203,6 +203,208 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
 # ---------------------------------------------------------------------------
+# v3 "rows" kernels: natural [rows, H*d] layout, heads packed in VMEM
+# ---------------------------------------------------------------------------
+#
+# Feeding kernels in [B, H, N, d] costs two HBM taxes the math never needed:
+# a materialized transpose per tensor (XLA folds transposes into dots; a
+# Pallas operand must be physical) and 2x lane padding whenever d=64<128.
+# These kernels consume q/k/v exactly as the fused QKV projection produces
+# them — [B*Np, H*d] lane-dense rows — and do the head split/packing in
+# VMEM where relayouts are ~free.  Per layer, HBM sees only 3 dense reads
+# and 1 dense write.
+
+
+def _head_chunk(h: int, np_len: int, max_rows: int = 1024) -> int:
+    """Heads per packed score block, bounding (hc*Np)^2 f32 in VMEM."""
+    hc = h
+    while hc > 1 and (hc % 2 == 0) and hc * np_len > max_rows:
+        hc //= 2
+    return hc
+
+
+def _rows_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
+                     gb, h, np_len, n, d):
+    hc = _head_chunk(h, np_len)
+    for s in range(gb):
+        lo = s * np_len
+        q_s = q_ref[lo:lo + np_len, :]  # [Np, H*d]
+        k_s = k_ref[lo:lo + np_len, :]
+        v_s = v_ref[lo:lo + np_len, :]
+        o_parts, lse_parts = [], []
+        for c in range(h // hc):
+            heads = range(c * hc, (c + 1) * hc)
+            # head packing: [Np, hc*d] -> [hc*Np, d] (VMEM-local relayout)
+            q_pk = jnp.concatenate([q_s[:, i * d:(i + 1) * d] for i in heads], axis=0)
+            k_pk = jnp.concatenate([k_s[:, i * d:(i + 1) * d] for i in heads], axis=0)
+            v_pk = jnp.concatenate([v_s[:, i * d:(i + 1) * d] for i in heads], axis=0)
+            sm = jax.lax.dot_general(
+                q_pk, k_pk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            sm = sm + _packed_bias(hc, np_len, n, causal)
+            m = jnp.max(sm, axis=-1, keepdims=True)
+            e = jnp.exp(sm - m)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            p = (e / denom).astype(v_pk.dtype)
+            o_pk = jax.lax.dot_general(
+                p, v_pk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            ).astype(o_ref.dtype)
+            o_parts.extend(
+                o_pk[i * np_len:(i + 1) * np_len, :] for i in range(hc)
+            )
+            lse_pk = m + jnp.log(denom)  # [hc*Np, 1]
+            lse_parts.extend(
+                lse_pk[i * np_len:(i + 1) * np_len, :] for i in range(hc)
+            )
+        o_ref[lo:lo + np_len, :] = jnp.concatenate(o_parts, axis=1)
+        lse_ref[lo:lo + np_len, :] = jnp.concatenate(lse_parts, axis=1)  # [Np, H]
+
+
+def _rows_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale, causal, gb, h, np_len, n, d):
+    hc = _head_chunk(h, np_len)
+    for s in range(gb):
+        lo = s * np_len
+        dq_parts, dk_parts, dv_parts = [], [], []
+        for c in range(h // hc):
+            heads = range(c * hc, (c + 1) * hc)
+
+            def pack(ref):
+                r = ref[lo:lo + np_len, :]
+                return jnp.concatenate(
+                    [r[:, i * d:(i + 1) * d] for i in heads], axis=0
+                )
+
+            q_pk, k_pk, v_pk = pack(q_ref), pack(k_ref), pack(v_ref)
+            o_pk, do_pk = pack(o_ref), pack(do_ref)
+            lse_s = lse_ref[lo:lo + np_len, :]  # [Np, H]
+            lse_pk = jnp.concatenate(
+                [lse_s[:, i:i + 1] for i in heads], axis=0
+            )  # [hc*Np, 1]
+
+            sm = jax.lax.dot_general(
+                q_pk, k_pk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            sm = sm + _packed_bias(hc, np_len, n, causal)
+            pmat = jnp.exp(sm - lse_pk)
+            pb = pmat.astype(q_pk.dtype)
+
+            dv_pk = jax.lax.dot_general(pb, do_pk, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do_pk, v_pk, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            delta = jnp.sum(
+                do_pk.astype(jnp.float32) * o_pk.astype(jnp.float32), axis=-1,
+                keepdims=True,
+            )
+            ds = (pmat * (dp - delta) * scale).astype(q_pk.dtype)
+            dq_pk = jax.lax.dot_general(ds, k_pk, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            dk_pk = jax.lax.dot_general(ds, q_pk, (((0,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+            for t_pk, parts in ((dq_pk, dq_parts), (dk_pk, dk_parts), (dv_pk, dv_parts)):
+                parts.extend(t_pk[i * np_len:(i + 1) * np_len, :] for i in range(hc))
+        dq_ref[lo:lo + np_len, :] = jnp.concatenate(dq_parts, axis=1).astype(dq_ref.dtype)
+        dk_ref[lo:lo + np_len, :] = jnp.concatenate(dk_parts, axis=1).astype(dk_ref.dtype)
+        dv_ref[lo:lo + np_len, :] = jnp.concatenate(dv_parts, axis=1).astype(dv_ref.dtype)
+
+
+def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, causal, n,
+               lse_in=False):
+    rows_blk = gb * np_len
+    n_blocks = rows_total // rows_blk
+    blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    lse_blk = pl.BlockSpec((rows_blk, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if n_out == 2:  # fwd: o + lse
+        out_specs = (blk, lse_blk)
+        out_shape = (
+            jax.ShapeDtypeStruct((rows_total, HD), args[0].dtype),
+            jax.ShapeDtypeStruct((rows_total, h), jnp.float32),
+        )
+        in_specs = [blk, blk, blk]
+    else:  # bwd: dq, dk, dv
+        out_specs = (blk, blk, blk)
+        out_shape = tuple(
+            jax.ShapeDtypeStruct((rows_total, HD), args[0].dtype) for _ in range(3)
+        )
+        in_specs = [blk, blk, blk, blk, lse_blk, blk]
+    return pl.pallas_call(
+        functools.partial(kernel, scale=scale, causal=causal, gb=gb, h=h,
+                          np_len=np_len, n=n, d=d),
+        grid=(n_blocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(*args)
+
+
+def _pick_gb(b: int, np_len: int, hd: int) -> int:
+    """Samples per program: bound block DMA footprint (~6 row buffers)."""
+    for cand in (8, 4, 2, 1):
+        if b % cand == 0 and cand * np_len * hd * 2 * 6 <= 8 * 1024 * 1024:
+            return cand
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
+def _flash_rows(q2, k2, v2, scale, causal, gb, np_len, h, d, n):
+    o, _ = _flash_rows_fwd_impl(q2, k2, v2, scale, causal, gb, np_len, h, d, n)
+    return o
+
+
+def _flash_rows_fwd_impl(q2, k2, v2, scale, causal, gb, np_len, h, d, n):
+    rows_total, HD = q2.shape
+    return _rows_call(_rows_fwd_kernel, 2, (q2, k2, v2), rows_total, HD, gb,
+                      np_len, h, d, scale, causal, n)
+
+
+def _flash_rows_fwd(q2, k2, v2, scale, causal, gb, np_len, h, d, n):
+    o, lse = _flash_rows_fwd_impl(q2, k2, v2, scale, causal, gb, np_len, h, d, n)
+    return o, (q2, k2, v2, o, lse)
+
+
+def _flash_rows_bwd(scale, causal, gb, np_len, h, d, n, res, do):
+    q2, k2, v2, o, lse = res
+    rows_total, HD = q2.shape
+    return _rows_call(_rows_bwd_kernel, 3, (q2, k2, v2, o, lse, do), rows_total,
+                      HD, gb, np_len, h, d, scale, causal, n)
+
+
+_flash_rows.defvjp(_flash_rows_fwd, _flash_rows_bwd)
+
+
+def flash_attention_rows(
+    q2: Array,
+    k2: Array,
+    v2: Array,
+    *,
+    heads: int,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+) -> Array:
+    """Fused attention on the natural [B, N, H*d] layout (N a 16-multiple).
+
+    Zero wrapper relayouts: inputs are direct slices of the fused QKV
+    projection; the output feeds the out-projection unchanged.
+    """
+    B, N, HD = q2.shape
+    d = HD // heads
+    if scale is None:
+        scale = 1.0 / math.sqrt(d)
+    if N % 16 != 0:
+        raise ValueError(f"flash_attention_rows requires N %% 16 == 0, got {N}")
+    valid = kv_len if kv_len is not None else N
+    gb = _pick_gb(B, N, HD)
+    qf = q2.reshape(B * N, HD)
+    kf = k2.reshape(B * N, HD)
+    vf = v2.reshape(B * N, HD)
+    of = _flash_rows(qf, kf, vf, float(scale), bool(causal), gb, N, heads, d, valid)
+    return of.reshape(B, N, HD)
+
+
+# ---------------------------------------------------------------------------
 # per-batch kernel with cross-head transforms (weight-share student)
 # ---------------------------------------------------------------------------
 
@@ -334,19 +536,26 @@ def flash_attention(
     scale: Optional[float] = None,
     causal: bool = False,
     head_transform: Optional[Tuple[Array, Array]] = None,
+    kv_len: Optional[int] = None,
 ) -> Array:
     """Fused attention for [B, H, N, d] inputs (N <= 256).
 
     ``head_transform=(Wl, Ww)``: apply [H, H] mixes to logits (pre-softmax)
     and probs (post-softmax) — the weight-share student's conv_l/conv_w.
+
+    ``kv_len``: number of VALID tokens when the caller already padded the
+    sequence (tower-level padding); keys/queries beyond it are masked.  When
+    N is already a 16-multiple and kv_len is given, no wrapper pad/slice is
+    emitted at all — the fully fused path.
     """
     B, H, N, D = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(D)
     if N > 256:
         raise ValueError(f"short-sequence fused attention requires N<=256, got {N}")
+    valid = kv_len if kv_len is not None else N
 
-    np_len = _round_up(N, 64)
+    np_len = _round_up(N, 16)
     pad = np_len - N
 
     if head_transform is not None:
@@ -359,13 +568,15 @@ def flash_attention(
         # relayout.
         if not _interpret():
             return reference_attention(
-                q, k, v, scale=scale, causal=causal, head_transform=head_transform
+                q, k, v, scale=scale, causal=causal,
+                head_transform=head_transform, kv_len=kv_len,
+                precise=q.dtype == jnp.float32,
             )
         wl, ww = head_transform
         if pad:
             padcfg = ((0, 0), (0, 0), (0, pad), (0, 0))
             q, k, v = (jnp.pad(t, padcfg) for t in (q, k, v))
-        o = _flash_tf(q, k, v, wl, ww, float(scale), bool(causal), N)
+        o = _flash_tf(q, k, v, wl, ww, float(scale), bool(causal), valid)
         return o[:, :, :N]
 
     g = _pick_group(B * H, np_len)
@@ -375,29 +586,43 @@ def flash_attention(
     qf = q.reshape(B * H * np_len, D)
     kf = k.reshape(B * H * np_len, D)
     vf = v.reshape(B * H * np_len, D)
-    of = _flash_packed(qf, kf, vf, float(scale), bool(causal), g, np_len, N)
+    of = _flash_packed(qf, kf, vf, float(scale), bool(causal), g, np_len, valid)
     o = of.reshape(B, H, np_len, D)
-    return o[:, :, :N]
+    return o if pad == 0 else o[:, :, :N]
 
 
 def reference_attention(
     q: Array, k: Array, v: Array, *, scale: Optional[float] = None,
-    causal: bool = False, head_transform=None,
+    causal: bool = False, head_transform=None, kv_len: Optional[int] = None,
+    precise: bool = True,
 ) -> Array:
-    """Unfused XLA attention with identical math (for testing/fallback)."""
+    """Unfused XLA attention with identical math (for testing/fallback).
+
+    ``precise=False`` keeps the [B,H,N,N] score/prob buffers in the input
+    dtype (bf16 on TPU) — the hardware fallback for the head-transform path
+    uses this to halve its HBM traffic; tests always compare precise=True.
+    """
     B, H, N, D = q.shape
     if scale is None:
         scale = 1.0 / math.sqrt(D)
+    buf_dtype = jnp.float32 if precise else q.dtype
     s = jnp.einsum(
-        "bhnd,bhmd->bhnm", q.astype(jnp.float32), k.astype(jnp.float32)
-    ) * scale
+        "bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32
+    ).astype(buf_dtype) * jnp.asarray(scale, buf_dtype)
     if head_transform is not None:
-        s = jnp.einsum("hg,bgnm->bhnm", head_transform[0].astype(s.dtype), s)
-    if causal:
+        s = jnp.einsum("hg,bgnm->bhnm", head_transform[0].astype(s.dtype), s,
+                       preferred_element_type=buf_dtype)
+    if causal or (kv_len is not None and kv_len < N):
         row = jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-        s = s + jnp.where(col > row, NEG_INF, 0.0)[None, None]
-    p = jax.nn.softmax(s, axis=-1)
+        ok = jnp.ones((N, N), bool)
+        if causal:
+            ok = jnp.logical_and(ok, col <= row)
+        if kv_len is not None and kv_len < N:
+            ok = jnp.logical_and(ok, col < kv_len)
+        s = s + jnp.where(ok, 0.0, NEG_INF)[None, None].astype(s.dtype)
+    p = jax.nn.softmax(s.astype(jnp.float32), axis=-1).astype(buf_dtype)
     if head_transform is not None:
-        p = jnp.einsum("hg,bgnm->bhnm", head_transform[1].astype(p.dtype), p)
+        p = jnp.einsum("hg,bgnm->bhnm", head_transform[1].astype(p.dtype), p,
+                       preferred_element_type=buf_dtype)
     return jnp.einsum("bhnm,bhmd->bhnd", p.astype(v.dtype), v).astype(q.dtype)

@@ -162,6 +162,13 @@ class Trainer:
 
             if hasattr(train_loader, "set_epoch"):
                 train_loader.set_epoch(epoch)
+            elif not hasattr(train_loader, "__len__"):
+                # generator-style loaders (webdataset tar streams) are
+                # single-shot: fetch a fresh epoch iterator
+                try:
+                    train_loader = datamodule.train_dataloader(epoch=epoch)
+                except TypeError:
+                    train_loader = datamodule.train_dataloader()
 
             t_epoch = time.time()
             n_items = 0
@@ -199,6 +206,8 @@ class Trainer:
             # --- validation ---
             if (epoch + 1) % self.check_val_every_n_epoch and epoch != self.max_epochs - 1:
                 continue
+            if not hasattr(val_loader, "__len__"):
+                val_loader = datamodule.val_dataloader()  # fresh generator
             val_metrics_acc: Dict[str, list] = {}
             reps_list = []
             for i, batch in enumerate(val_loader):

@@ -67,3 +67,47 @@ def test_rejects_long_sequences(qkv):
     q = jnp.zeros((1, 1, 512, 32))
     with pytest.raises(ValueError):
         flash_attention(q, q, q)
+
+
+def test_rows_layout_matches_reference():
+    """flash_attention_rows on [B, N, H*d] == reference on [B, H, N, d]."""
+    from distillclip_tpu.ops.flash_attention import flash_attention_rows
+
+    B2, H2, N2, D2 = 2, 4, 32, 16
+    key = jax.random.PRNGKey(7)
+    q2 = jax.random.normal(key, (B2, N2, H2 * D2), jnp.float32)
+    k2 = jax.random.normal(jax.random.PRNGKey(8), (B2, N2, H2 * D2), jnp.float32)
+    v2 = jax.random.normal(jax.random.PRNGKey(9), (B2, N2, H2 * D2), jnp.float32)
+
+    to4 = lambda t: t.reshape(B2, N2, H2, D2).transpose(0, 2, 1, 3)
+    for causal, kv_len in [(False, None), (True, None), (False, 20), (True, 20)]:
+        o_rows = flash_attention_rows(q2, k2, v2, heads=H2, causal=causal, kv_len=kv_len)
+        o_ref = reference_attention(
+            to4(q2), to4(k2), to4(v2), causal=causal, kv_len=kv_len
+        ).transpose(0, 2, 1, 3).reshape(B2, N2, H2 * D2)
+        if kv_len:
+            o_rows, o_ref = o_rows[:, :kv_len], o_ref[:, :kv_len]
+        np.testing.assert_allclose(
+            np.asarray(o_rows), np.asarray(o_ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_rows_layout_gradients():
+    from distillclip_tpu.ops.flash_attention import flash_attention_rows
+
+    B2, H2, N2, D2 = 2, 4, 32, 16
+    q2 = jax.random.normal(jax.random.PRNGKey(7), (B2, N2, H2 * D2), jnp.float32)
+    to4 = lambda t: t.reshape(B2, N2, H2, D2).transpose(0, 2, 1, 3)
+
+    def loss_rows(q, k, v):
+        return (flash_attention_rows(q, k, v, heads=H2, kv_len=20)[:, :20] ** 2).sum()
+
+    def loss_ref(q, k, v):
+        o = reference_attention(to4(q), to4(k), to4(v), kv_len=20)
+        o = o.transpose(0, 2, 1, 3).reshape(B2, N2, H2 * D2)
+        return (o[:, :20] ** 2).sum()
+
+    g1 = jax.grad(loss_rows, argnums=(0, 1, 2))(q2, q2, q2)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q2, q2, q2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
