@@ -162,6 +162,27 @@ def main():
     pairs_per_sec = global_batch * args.steps / dt
     pairs_per_sec_per_chip = pairs_per_sec / n_chips
 
+    # MFU estimate from XLA's own cost model (bf16 peak ~197 TF/s per v5e)
+    mfu = None
+    step_flops = None
+    step_bytes = None
+    try:
+        lowered = getattr(step_fn, "lower", None)
+        # re-lower the jitted step with the same args used above
+        if args.stage == "l_clip":
+            c = step_fn.lower(state, task.teacher_vars, b_tokens, b_images, rng).compile()
+        else:
+            c = step_fn.lower(state, task.teacher_vars, b_inputs, rng).compile()
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        step_flops = float(ca.get("flops", 0.0))
+        step_bytes = float(ca.get("bytes accessed", 0.0))
+        peak = 197e12 if jax.devices()[0].platform == "tpu" else None
+        if peak and step_flops:
+            mfu = step_flops / (dt / args.steps) / peak
+    except Exception:
+        pass
+
     metric_name = {
         "l_clip": "image-text pairs/sec/chip (L-CLIP distill)",
         "image": "images/sec/chip (stage-1 distill)",
@@ -179,6 +200,9 @@ def main():
             "step_time_ms": round(dt / args.steps * 1000, 2),
             "backend": jax.devices()[0].platform,
             "quick": args.quick,
+            "mfu": round(mfu, 4) if mfu else None,
+            "step_gflops": round(step_flops / 1e9, 1) if step_flops else None,
+            "step_gbytes": round(step_bytes / 1e9, 2) if step_bytes else None,
         },
     }))
 

@@ -238,11 +238,16 @@ class HashTokenizer:
         return result
 
 
-def build_tokenizer(bpe_path: Optional[str] = None, context_length: int = 77):
-    """SimpleTokenizer when a vocab file is available, HashTokenizer otherwise."""
+def build_tokenizer(bpe_path: Optional[str] = None, context_length: int = 77,
+                    vocab_size: int = 49408):
+    """SimpleTokenizer when a vocab file is available, HashTokenizer otherwise.
+
+    ``vocab_size`` bounds the hash fallback's ids so they stay in range for
+    models with smaller vocabularies (real BPE always emits CLIP's 49408).
+    """
     if bpe_path and os.path.exists(bpe_path):
         return SimpleTokenizer(bpe_path)
     default = os.environ.get("CLIP_BPE_PATH")
     if default and os.path.exists(default):
         return SimpleTokenizer(default)
-    return HashTokenizer(context_length=context_length)
+    return HashTokenizer(vocab_size=vocab_size, context_length=context_length)

@@ -120,9 +120,12 @@ class InstrumentedAttention(nn.Module):
         # Fused in-projection: one [D, 3D] matmul keeps the MXU busy.
         qkv = Dense(3 * self.width, name="in_proj")(x)
 
+        from distillclip_tpu.ops.flash_attention import flash_enabled
+
         dropout_active = self.drop_prob > 0.0 and not deterministic
         flash_ok = (
             self.use_flash
+            and flash_enabled()
             and not flags.attn_tap()
             and not dropout_active
             and mask is None

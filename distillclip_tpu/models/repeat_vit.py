@@ -128,9 +128,12 @@ class MiniAttention(nn.Module):
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
         v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
+        from distillclip_tpu.ops.flash_attention import flash_enabled
+
         dropout_active = self.attn_drop > 0.0 and not deterministic
         flash_ok = (
-            not flags.attn_tap()
+            flash_enabled()
+            and not flags.attn_tap()
             and not dropout_active
             and self.rpe_config is None
             and N <= 256

@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -47,6 +48,12 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 NEG_INF = -1e9
+
+
+def flash_enabled() -> bool:
+    """Global kill-switch: DISTILLCLIP_FLASH=0 routes all attention through
+    the XLA path (useful for A/B benchmarking and debugging)."""
+    return os.environ.get("DISTILLCLIP_FLASH", "1") != "0"
 
 
 def _interpret() -> bool:
@@ -215,98 +222,81 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 # and 1 dense write.
 
 
-def _head_chunk(h: int, np_len: int, max_rows: int = 1024) -> int:
-    """Heads per packed score block, bounding (hc*Np)^2 f32 in VMEM."""
-    hc = h
-    while hc > 1 and (hc % 2 == 0) and hc * np_len > max_rows:
-        hc //= 2
-    return hc
-
-
 def _rows_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
                      gb, h, np_len, n, d):
-    hc = _head_chunk(h, np_len)
+    """Per-(sample, head) 2D attention, entirely in VMEM.
+
+    No head packing: Mosaic cannot concat vectors with mismatched lane
+    offsets, so each head is processed as an independent [Np, d] slice and
+    the output written back into its lane slot.  The matmuls are small
+    ([Np,d]x[d,Np]) but instruction-issued inside one program — no grid
+    overhead — and the op is HBM-bound anyway.
+    """
+    bias = _rows_bias(np_len, n, causal)
     for s in range(gb):
         lo = s * np_len
-        q_s = q_ref[lo:lo + np_len, :]  # [Np, H*d]
-        k_s = k_ref[lo:lo + np_len, :]
-        v_s = v_ref[lo:lo + np_len, :]
-        o_parts, lse_parts = [], []
-        for c in range(h // hc):
-            heads = range(c * hc, (c + 1) * hc)
-            # head packing: [Np, hc*d] -> [hc*Np, d] (VMEM-local relayout)
-            q_pk = jnp.concatenate([q_s[:, i * d:(i + 1) * d] for i in heads], axis=0)
-            k_pk = jnp.concatenate([k_s[:, i * d:(i + 1) * d] for i in heads], axis=0)
-            v_pk = jnp.concatenate([v_s[:, i * d:(i + 1) * d] for i in heads], axis=0)
+        for i in range(h):
+            sl = slice(i * d, (i + 1) * d)
+            q_h = q_ref[lo:lo + np_len, sl]
+            k_h = k_ref[lo:lo + np_len, sl]
+            v_h = v_ref[lo:lo + np_len, sl]
             sm = jax.lax.dot_general(
-                q_pk, k_pk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            sm = sm + _packed_bias(hc, np_len, n, causal)
+                q_h, k_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale + bias
             m = jnp.max(sm, axis=-1, keepdims=True)
             e = jnp.exp(sm - m)
             denom = jnp.sum(e, axis=-1, keepdims=True)
-            p = (e / denom).astype(v_pk.dtype)
-            o_pk = jax.lax.dot_general(
-                p, v_pk, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-            ).astype(o_ref.dtype)
-            o_parts.extend(
-                o_pk[i * np_len:(i + 1) * np_len, :] for i in range(hc)
+            p = (e / denom).astype(v_h.dtype)
+            o_h = jax.lax.dot_general(
+                p, v_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
             )
-            lse_pk = m + jnp.log(denom)  # [hc*Np, 1]
-            lse_parts.extend(
-                lse_pk[i * np_len:(i + 1) * np_len, :] for i in range(hc)
-            )
-        o_ref[lo:lo + np_len, :] = jnp.concatenate(o_parts, axis=1)
-        lse_ref[lo:lo + np_len, :] = jnp.concatenate(lse_parts, axis=1)  # [Np, H]
+            o_ref[lo:lo + np_len, sl] = o_h.astype(o_ref.dtype)
+            lse_ref[lo:lo + np_len, i:i + 1] = m + jnp.log(denom)
+
+
+def _rows_bias(np_len: int, n: int, causal: bool) -> jnp.ndarray:
+    col = jax.lax.broadcasted_iota(jnp.int32, (np_len, np_len), 1)
+    ok = col < n
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (np_len, np_len), 0)
+        ok = jnp.logical_and(ok, col <= row)
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
 
 
 def _rows_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                      dq_ref, dk_ref, dv_ref, *, scale, causal, gb, h, np_len, n, d):
-    hc = _head_chunk(h, np_len)
+    bias = _rows_bias(np_len, n, causal)
     for s in range(gb):
         lo = s * np_len
-        dq_parts, dk_parts, dv_parts = [], [], []
-        for c in range(h // hc):
-            heads = range(c * hc, (c + 1) * hc)
-
-            def pack(ref):
-                r = ref[lo:lo + np_len, :]
-                return jnp.concatenate(
-                    [r[:, i * d:(i + 1) * d] for i in heads], axis=0
-                )
-
-            q_pk, k_pk, v_pk = pack(q_ref), pack(k_ref), pack(v_ref)
-            o_pk, do_pk = pack(o_ref), pack(do_ref)
-            lse_s = lse_ref[lo:lo + np_len, :]  # [Np, H]
-            lse_pk = jnp.concatenate(
-                [lse_s[:, i:i + 1] for i in heads], axis=0
-            )  # [hc*Np, 1]
+        for i in range(h):
+            sl = slice(i * d, (i + 1) * d)
+            q_h = q_ref[lo:lo + np_len, sl]
+            k_h = k_ref[lo:lo + np_len, sl]
+            v_h = v_ref[lo:lo + np_len, sl]
+            o_h = o_ref[lo:lo + np_len, sl].astype(jnp.float32)
+            do_h = do_ref[lo:lo + np_len, sl]
+            do32 = do_h.astype(jnp.float32)
+            lse = lse_ref[lo:lo + np_len, i:i + 1]
 
             sm = jax.lax.dot_general(
-                q_pk, k_pk, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            sm = sm + _packed_bias(hc, np_len, n, causal)
-            pmat = jnp.exp(sm - lse_pk)
-            pb = pmat.astype(q_pk.dtype)
+                q_h, k_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale + bias
+            pmat = jnp.exp(sm - lse)
+            pb = pmat.astype(q_h.dtype)
 
-            dv_pk = jax.lax.dot_general(pb, do_pk, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do_pk, v_pk, (((1,), (1,)), ((), ())),
+            dv_h = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(do_h, v_h, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            delta = jnp.sum(
-                do_pk.astype(jnp.float32) * o_pk.astype(jnp.float32), axis=-1,
-                keepdims=True,
-            )
-            ds = (pmat * (dp - delta) * scale).astype(q_pk.dtype)
-            dq_pk = jax.lax.dot_general(ds, k_pk, (((1,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            dk_pk = jax.lax.dot_general(ds, q_pk, (((0,), (0,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-            for t_pk, parts in ((dq_pk, dq_parts), (dk_pk, dk_parts), (dv_pk, dv_parts)):
-                parts.extend(t_pk[i * np_len:(i + 1) * np_len, :] for i in range(hc))
-        dq_ref[lo:lo + np_len, :] = jnp.concatenate(dq_parts, axis=1).astype(dq_ref.dtype)
-        dk_ref[lo:lo + np_len, :] = jnp.concatenate(dk_parts, axis=1).astype(dk_ref.dtype)
-        dv_ref[lo:lo + np_len, :] = jnp.concatenate(dv_parts, axis=1).astype(dv_ref.dtype)
+            delta = jnp.sum(do32 * o_h, axis=-1, keepdims=True)
+            ds = (pmat * (dp - delta) * scale).astype(q_h.dtype)
+            dq_h = jax.lax.dot_general(ds, k_h, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dk_h = jax.lax.dot_general(ds, q_h, (((0,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+            dq_ref[lo:lo + np_len, sl] = dq_h.astype(dq_ref.dtype)
+            dk_ref[lo:lo + np_len, sl] = dk_h.astype(dk_ref.dtype)
+            dv_ref[lo:lo + np_len, sl] = dv_h.astype(dv_ref.dtype)
 
 
 def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, causal, n,

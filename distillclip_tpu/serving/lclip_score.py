@@ -72,10 +72,14 @@ class LCLIPScorer:
 
         img_mod, img_vars = load_image_teacher(teacher_name, download_root)
         txt_mod, txt_vars = load_text_teacher(teacher_name, download_root)
+        ctx = getattr(txt_mod, "context_length", 77)
+        size = getattr(img_mod, "input_resolution", 224)
+        vocab = getattr(txt_mod, "vocab_size", 49408)
         return cls(
             image_module=img_mod, image_vars=img_vars,
             text_module=txt_mod, text_vars=txt_vars,
-            tokenizer=build_tokenizer(bpe_path),
+            tokenizer=build_tokenizer(bpe_path, context_length=ctx, vocab_size=vocab),
+            image_size=size, context_length=ctx,
         )
 
     @classmethod
@@ -116,10 +120,11 @@ class LCLIPScorer:
         )["params"]
         img_params = restore_tower_params(image_ckpt, img_params)
         txt_params = restore_tower_params(text_ckpt, txt_params)
+        vocab = getattr(text_tower, "vocab_size", 49408)
         return cls(
             image_module=image_tower, image_vars={"params": img_params},
             text_module=text_tower, text_vars={"params": txt_params},
-            tokenizer=build_tokenizer(bpe_path, context_length=ctx),
+            tokenizer=build_tokenizer(bpe_path, context_length=ctx, vocab_size=vocab),
             image_size=image_size, context_length=ctx,
         )
 

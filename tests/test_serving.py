@@ -1,0 +1,104 @@
+"""L-CLIPScore serving path: teacher scorer + student checkpoint scorer."""
+
+import numpy as np
+import pytest
+import torch
+import yaml
+
+import jax
+import jax.numpy as jnp
+
+from test_teacher import _make_state_dict, CTX, RES, VOCAB
+
+
+@pytest.fixture(scope="module")
+def ckpt_path(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt") / "tiny_clip.pt"
+    torch.save(_make_state_dict(), str(path))
+    return str(path)
+
+
+def test_teacher_scorer(ckpt_path):
+    from distillclip_tpu.serving import LCLIPScorer
+
+    scorer = LCLIPScorer.from_teacher(ckpt_path)
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(3, RES, RES, 3)).astype(np.float32)
+    caps = ["a cat", "a dog on grass", "sunset"]
+    scores = scorer.score_arrays(imgs, caps)
+    assert scores.shape == (3,)
+    assert np.isfinite(scores).all()
+    assert (np.abs(scores) <= 1.0 + 1e-5).all()
+    sim = scorer.similarity_matrix(imgs, caps)
+    np.testing.assert_allclose(np.diagonal(sim), scores, rtol=1e-5, atol=1e-5)
+    # bucketing returns identical scores for different batch paddings
+    s1 = scorer.score_arrays(imgs[:1], caps[:1])
+    np.testing.assert_allclose(s1[0], scores[0], rtol=1e-5, atol=1e-5)
+
+
+def test_student_checkpoint_scorer(ckpt_path, tmp_path):
+    """Compose a scorer from stage-style student checkpoints + config."""
+    from distillclip_tpu.models import ControlFlags, RepeatTextTransformer, RepeatVisionTransformer
+    from distillclip_tpu.serving import LCLIPScorer
+    from distillclip_tpu.training.checkpoints import save_pytree
+
+    img_student = RepeatVisionTransformer(
+        img_size=RES, patch_size=8, out_dim=48, embed_dim=32, depth=2,
+        num_heads=4, repeated_times=2, qkv_bias=True,
+    )
+    txt_student = RepeatTextTransformer(
+        vocab_size=VOCAB, context_length=CTX, out_dim=48, embed_dim=32,
+        depth=2, num_heads=4, repeated_times=2,
+    )
+    rng = jax.random.PRNGKey(0)
+    imgs = jnp.zeros((1, RES, RES, 3))
+    toks = jnp.ones((1, CTX), jnp.int32)
+    img_params = img_student.init(rng, imgs, ControlFlags())["params"]
+    txt_params = txt_student.init(rng, toks, ControlFlags())["params"]
+    save_pytree(str(tmp_path / "img_ck"), {"params": {"student": img_params}})
+    save_pytree(str(tmp_path / "txt_ck"), {"params": {"student": txt_params}})
+
+    cfg = {
+        "model": {
+            "init_args": {
+                "image_student": {
+                    "class_path": "model.component.weight_share_model.RepeatVisionTransformer",
+                    "init_args": dict(img_size=RES, patch_size=8, out_dim=48,
+                                      embed_dim=32, depth=2, num_heads=4,
+                                      repeated_times=2, qkv_bias=True),
+                },
+                "text_student": {
+                    "class_path": "model.component.weight_share_model.RepeatTextTransformer",
+                    "init_args": dict(vocab_size=VOCAB, context_length=CTX, out_dim=48,
+                                      embed_dim=32, depth=2, num_heads=4,
+                                      repeated_times=2),
+                },
+            }
+        }
+    }
+    cfg_path = tmp_path / "lclip.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    scorer = LCLIPScorer.from_checkpoints(
+        image_ckpt=str(tmp_path / "img_ck"),
+        text_ckpt=str(tmp_path / "txt_ck"),
+        config=str(cfg_path),
+    )
+    rng2 = np.random.default_rng(1)
+    imgs_np = rng2.normal(size=(2, RES, RES, 3)).astype(np.float32)
+    scores = scorer.score_arrays(imgs_np, ["hello world", "another caption"])
+    assert scores.shape == (2,) and np.isfinite(scores).all()
+
+    # direct-model agreement: scorer output == CLIPModel.score fast path
+    from distillclip_tpu.models import CLIPModel
+
+    clip = CLIPModel(image_tower=img_student, text_tower=txt_student)
+    tokens = scorer.tokenizer.tokenize(
+        ["hello world", "another caption"], context_length=CTX
+    )
+    img_f, txt_f, logits = clip.apply(
+        {"params": {"image_tower": img_params, "text_tower": txt_params}},
+        jnp.asarray(tokens), jnp.asarray(imgs_np), method=clip.score,
+    )
+    np.testing.assert_allclose(scores, np.diagonal(np.asarray(logits)), rtol=1e-2, atol=2e-2)
