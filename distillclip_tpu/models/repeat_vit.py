@@ -116,6 +116,7 @@ class MiniAttention(nn.Module):
         x: Array,
         repeat_id: int,
         flags: ControlFlags,
+        kv_len: Optional[int] = None,
         deterministic: bool = True,
     ) -> AttentionOutput:
         B, N, C = x.shape
@@ -123,10 +124,6 @@ class MiniAttention(nn.Module):
         scale = self.qk_scale or head_dim ** -0.5
 
         qkv = StudentDense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
-        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
         from distillclip_tpu.ops.flash_attention import flash_enabled
 
@@ -138,9 +135,27 @@ class MiniAttention(nn.Module):
             and self.rpe_config is None
             and N <= 256
         )
+        if flash_ok and not self.use_transform and N % 16 == 0:
+            # rows-layout kernel on the natural [B, N, H*d] layout
+            from distillclip_tpu.ops.flash_attention import flash_attention_rows
+
+            ctx = flash_attention_rows(
+                qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :],
+                heads=self.num_heads, scale=scale, kv_len=kv_len,
+            )
+            out = StudentDense(C, name="proj")(ctx.astype(x.dtype))
+            if self.proj_drop > 0.0 and not deterministic:
+                out = nn.Dropout(rate=self.proj_drop, deterministic=False)(out)
+            return AttentionOutput(hidden=out)
+
+        qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
         if flash_ok:
-            # fused Pallas path — with use_transform the kernel applies the
-            # per-repeat cross-head mixes in VMEM (ops/flash_attention.py)
+            # fused path; with use_transform the per-repeat cross-head mixes
+            # are applied by the kernel/fallback (ops/flash_attention.py)
             from distillclip_tpu.ops.flash_attention import flash_attention
 
             transform = None
@@ -154,7 +169,8 @@ class MiniAttention(nn.Module):
                     (self.repeated_times, self.num_heads, self.num_heads), jnp.float32,
                 )
                 transform = (conv_l[repeat_id], conv_w[repeat_id])
-            ctx4 = flash_attention(q, k, v, scale=scale, head_transform=transform)
+            ctx4 = flash_attention(q, k, v, scale=scale, head_transform=transform,
+                                   kv_len=kv_len)
             out = ctx4.transpose(0, 2, 1, 3).reshape(B, N, C).astype(x.dtype)
             out = StudentDense(C, name="proj")(out)
             if self.proj_drop > 0.0 and not deterministic:
@@ -191,6 +207,10 @@ class MiniAttention(nn.Module):
                 "hg,bgnm->bhnm", conv_l[repeat_id].astype(attn.dtype), attn,
                 preferred_element_type=jnp.float32,
             )
+
+        if kv_len is not None and kv_len < N:
+            col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+            attn = attn + jnp.where(col < kv_len, 0.0, -1e9)[None, None]
 
         attn = jax.nn.softmax(attn, axis=-1)
         attention_probs = attn if flags.need_attn_prob else None
@@ -269,7 +289,8 @@ class RepeatedMiniBlock(nn.Module):
 
     @nn.compact
     def __call__(
-        self, x: Array, flags: ControlFlags, deterministic: bool = True
+        self, x: Array, flags: ControlFlags, kv_len: Optional[int] = None,
+        deterministic: bool = True,
     ) -> TransformerOutput:
         assert len(self.drop_paths) == self.repeated_times
         attn = MiniAttention(
@@ -301,7 +322,8 @@ class RepeatedMiniBlock(nn.Module):
         scores, probs, reps = [], [], []
         value_map = None
         for r in range(self.repeated_times):
-            a_out = attn(norm1[r](x), r, flags, deterministic=deterministic)
+            a_out = attn(norm1[r](x), r, flags, kv_len=kv_len,
+                         deterministic=deterministic)
             dp_rng = (
                 self.make_rng("droppath")
                 if (not deterministic and self.drop_paths[r] > 0.0)
@@ -397,6 +419,17 @@ class RepeatVisionTransformer(nn.Module):
         if self.drop_rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.drop_rate, deterministic=False)(x)
 
+        # sequence-level padding (see models/vit.py): tile-aligned layers,
+        # pad keys masked via kv_len; off when per-layer taps are requested
+        # or when iRPE is active (bucket tables are length-specific)
+        N0 = x.shape[1]
+        pad_ok = (not flags.attn_tap() and not flags.need_rep
+                  and self.rpe_config is None)
+        Npad = -(-N0 // 16) * 16 if pad_ok else N0
+        kv_len = N0 if (pad_ok and Npad != N0) else None
+        if Npad != N0:
+            x = jnp.pad(x, ((0, 0), (0, Npad - N0), (0, 0)))
+
         n_blocks = self.depth // self.repeated_times
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
 
@@ -417,13 +450,15 @@ class RepeatVisionTransformer(nn.Module):
                 rpe_config=self.rpe_config,
                 seq_len=seq_len,
                 name=f"blocks_{b}",
-            )(x, flags, deterministic=deterministic)
+            )(x, flags, kv_len=kv_len, deterministic=deterministic)
             x = block_out.hidden
             scores.append(block_out.attention_scores)
             probs.append(block_out.attention_probs)
             reps.append(block_out.representations)
             value_map = block_out.value_map
 
+        if Npad != N0:
+            x = x[:, :N0]
         x = StudentLayerNorm(name="norm")(x)
         x = StudentDense(self.out_dim, name="head")(x)
 
@@ -489,6 +524,16 @@ class RepeatTextTransformer(nn.Module):
         if self.drop_rate > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.drop_rate, deterministic=False)(x)
 
+        # sequence-level padding; NOTE the student text model is
+        # bidirectional (quirk preserved) so pad keys MUST be masked
+        N0 = x.shape[1]
+        pad_ok = (not flags.attn_tap() and not flags.need_rep
+                  and self.rpe_config is None)
+        Npad = -(-N0 // 16) * 16 if pad_ok else N0
+        kv_len = N0 if (pad_ok and Npad != N0) else None
+        if Npad != N0:
+            x = jnp.pad(x, ((0, 0), (0, Npad - N0), (0, 0)))
+
         n_blocks = self.depth // self.repeated_times
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
 
@@ -509,13 +554,15 @@ class RepeatTextTransformer(nn.Module):
                 rpe_config=self.rpe_config,
                 seq_len=self.context_length,
                 name=f"blocks_{b}",
-            )(x, flags, deterministic=deterministic)
+            )(x, flags, kv_len=kv_len, deterministic=deterministic)
             x = block_out.hidden
             scores.append(block_out.attention_scores)
             probs.append(block_out.attention_probs)
             reps.append(block_out.representations)
             value_map = block_out.value_map
 
+        if Npad != N0:
+            x = x[:, :N0]
         x = StudentLayerNorm(name="norm")(x)
         x = StudentDense(self.out_dim, name="head")(x)
 

@@ -222,102 +222,142 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 # and 1 dense write.
 
 
-def _rows_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, *, scale, causal,
-                     gb, h, np_len, n, d):
-    """Per-(sample, head) 2D attention, entirely in VMEM.
+def _head_chunk(h: int, np_len: int, max_rows: int = 768) -> int:
+    """Heads per packed block, bounding the (hc*Np)^2 fp32 score matrix."""
+    hc = h
+    while hc > 1 and hc % 2 == 0 and hc * np_len > max_rows:
+        hc //= 2
+    return hc
 
-    No head packing: Mosaic cannot concat vectors with mismatched lane
-    offsets, so each head is processed as an independent [Np, d] slice and
-    the output written back into its lane slot.  The matmuls are small
-    ([Np,d]x[d,Np]) but instruction-issued inside one program — no grid
-    overhead — and the op is HBM-bound anyway.
+
+def _rows_bias(np_len: int, n: int, causal: bool, hc: int) -> jnp.ndarray:
+    """Block-diagonal(+causal+key-pad) bias for the packed [hc*Np, hc*Np]
+    score matrix."""
+    rows = hc * np_len
+    row = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    ok = (row // np_len) == (col // np_len)
+    ok = jnp.logical_and(ok, (col % np_len) < n)
+    if causal:
+        ok = jnp.logical_and(ok, (col % np_len) <= (row % np_len))
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _rows_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+                     q_pk, k_pk, v_pk, *, scale, causal, gb, h, np_len, n, d):
+    """Packed-rows attention forward.
+
+    Inputs stay in the natural lane-dense [rows, H*d] layout; heads are
+    packed onto sublanes through VMEM scratch STORES (Mosaic relayouts on
+    store, unlike concat), giving one full-size MXU matmul per head chunk.
     """
-    bias = _rows_bias(np_len, n, causal)
+    hc = _head_chunk(h, np_len)
+    bias = _rows_bias(np_len, n, causal, hc)
     for s in range(gb):
         lo = s * np_len
-        for i in range(h):
-            sl = slice(i * d, (i + 1) * d)
-            q_h = q_ref[lo:lo + np_len, sl]
-            k_h = k_ref[lo:lo + np_len, sl]
-            v_h = v_ref[lo:lo + np_len, sl]
+        for c in range(h // hc):
+            for j in range(hc):
+                i = c * hc + j
+                sl = slice(i * d, (i + 1) * d)
+                dst = slice(j * np_len, (j + 1) * np_len)
+                q_pk[dst, :] = q_ref[lo:lo + np_len, sl]
+                k_pk[dst, :] = k_ref[lo:lo + np_len, sl]
+                v_pk[dst, :] = v_ref[lo:lo + np_len, sl]
             sm = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                q_pk[...], k_pk[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             ) * scale + bias
             m = jnp.max(sm, axis=-1, keepdims=True)
             e = jnp.exp(sm - m)
             denom = jnp.sum(e, axis=-1, keepdims=True)
-            p = (e / denom).astype(v_h.dtype)
-            o_h = jax.lax.dot_general(
-                p, v_h, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+            p = (e / denom).astype(v_pk.dtype)
+            o_pk = jax.lax.dot_general(
+                p, v_pk[...], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
             )
-            o_ref[lo:lo + np_len, sl] = o_h.astype(o_ref.dtype)
-            lse_ref[lo:lo + np_len, i:i + 1] = m + jnp.log(denom)
-
-
-def _rows_bias(np_len: int, n: int, causal: bool) -> jnp.ndarray:
-    col = jax.lax.broadcasted_iota(jnp.int32, (np_len, np_len), 1)
-    ok = col < n
-    if causal:
-        row = jax.lax.broadcasted_iota(jnp.int32, (np_len, np_len), 0)
-        ok = jnp.logical_and(ok, col <= row)
-    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+            lse_pk = m + jnp.log(denom)
+            for j in range(hc):
+                i = c * hc + j
+                src = slice(j * np_len, (j + 1) * np_len)
+                o_ref[lo:lo + np_len, i * d:(i + 1) * d] = o_pk[src, :].astype(o_ref.dtype)
+                lse_ref[lo:lo + np_len, i:i + 1] = lse_pk[src, :]
 
 
 def _rows_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref, *, scale, causal, gb, h, np_len, n, d):
-    bias = _rows_bias(np_len, n, causal)
+                     dq_ref, dk_ref, dv_ref,
+                     q_pk, k_pk, v_pk, o_pk, do_pk, lse_pk,
+                     *, scale, causal, gb, h, np_len, n, d):
+    hc = _head_chunk(h, np_len)
+    bias = _rows_bias(np_len, n, causal, hc)
     for s in range(gb):
         lo = s * np_len
-        for i in range(h):
-            sl = slice(i * d, (i + 1) * d)
-            q_h = q_ref[lo:lo + np_len, sl]
-            k_h = k_ref[lo:lo + np_len, sl]
-            v_h = v_ref[lo:lo + np_len, sl]
-            o_h = o_ref[lo:lo + np_len, sl].astype(jnp.float32)
-            do_h = do_ref[lo:lo + np_len, sl]
-            do32 = do_h.astype(jnp.float32)
-            lse = lse_ref[lo:lo + np_len, i:i + 1]
+        for c in range(h // hc):
+            for j in range(hc):
+                i = c * hc + j
+                sl = slice(i * d, (i + 1) * d)
+                dst = slice(j * np_len, (j + 1) * np_len)
+                q_pk[dst, :] = q_ref[lo:lo + np_len, sl]
+                k_pk[dst, :] = k_ref[lo:lo + np_len, sl]
+                v_pk[dst, :] = v_ref[lo:lo + np_len, sl]
+                o_pk[dst, :] = o_ref[lo:lo + np_len, sl]
+                do_pk[dst, :] = do_ref[lo:lo + np_len, sl]
+                lse_pk[dst, :] = lse_ref[lo:lo + np_len, i:i + 1]
 
             sm = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+                q_pk[...], k_pk[...], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
             ) * scale + bias
-            pmat = jnp.exp(sm - lse)
-            pb = pmat.astype(q_h.dtype)
+            pmat = jnp.exp(sm - lse_pk[...])
+            pb = pmat.astype(q_pk.dtype)
 
-            dv_h = jax.lax.dot_general(pb, do_h, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do_h, v_h, (((1,), (1,)), ((), ())),
+            dv = jax.lax.dot_general(pb, do_pk[...], (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            delta = jnp.sum(do32 * o_h, axis=-1, keepdims=True)
-            ds = (pmat * (dp - delta) * scale).astype(q_h.dtype)
-            dq_h = jax.lax.dot_general(ds, k_h, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            dk_h = jax.lax.dot_general(ds, q_h, (((0,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-            dq_ref[lo:lo + np_len, sl] = dq_h.astype(dq_ref.dtype)
-            dk_ref[lo:lo + np_len, sl] = dk_h.astype(dk_ref.dtype)
-            dv_ref[lo:lo + np_len, sl] = dv_h.astype(dv_ref.dtype)
+            dp = jax.lax.dot_general(do_pk[...], v_pk[...], (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            delta = jnp.sum(
+                do_pk[...].astype(jnp.float32) * o_pk[...].astype(jnp.float32),
+                axis=-1, keepdims=True,
+            )
+            ds = (pmat * (dp - delta) * scale).astype(q_pk.dtype)
+            dq = jax.lax.dot_general(ds, k_pk[...], (((1,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dk = jax.lax.dot_general(ds, q_pk[...], (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            for j in range(hc):
+                i = c * hc + j
+                sl = slice(i * d, (i + 1) * d)
+                src = slice(j * np_len, (j + 1) * np_len)
+                dq_ref[lo:lo + np_len, sl] = dq[src, :].astype(dq_ref.dtype)
+                dk_ref[lo:lo + np_len, sl] = dk[src, :].astype(dk_ref.dtype)
+                dv_ref[lo:lo + np_len, sl] = dv[src, :].astype(dv_ref.dtype)
 
 
 def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, causal, n,
                lse_in=False):
     rows_blk = gb * np_len
     n_blocks = rows_total // rows_blk
+    hc = _head_chunk(h, np_len)
+    pk_rows = hc * np_len
+    dtype = args[0].dtype
     blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lse_blk = pl.BlockSpec((rows_blk, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
     if n_out == 2:  # fwd: o + lse
         out_specs = (blk, lse_blk)
         out_shape = (
-            jax.ShapeDtypeStruct((rows_total, HD), args[0].dtype),
+            jax.ShapeDtypeStruct((rows_total, HD), dtype),
             jax.ShapeDtypeStruct((rows_total, h), jnp.float32),
         )
         in_specs = [blk, blk, blk]
+        scratch = [pltpu.VMEM((pk_rows, d), dtype) for _ in range(3)]
     else:  # bwd: dq, dk, dv
         out_specs = (blk, blk, blk)
         out_shape = tuple(
-            jax.ShapeDtypeStruct((rows_total, HD), args[0].dtype) for _ in range(3)
+            jax.ShapeDtypeStruct((rows_total, HD), dtype) for _ in range(3)
         )
         in_specs = [blk, blk, blk, blk, lse_blk, blk]
+        scratch = [pltpu.VMEM((pk_rows, d), dtype) for _ in range(5)] + [
+            pltpu.VMEM((pk_rows, 1), jnp.float32)
+        ]
     return pl.pallas_call(
         functools.partial(kernel, scale=scale, causal=causal, gb=gb, h=h,
                           np_len=np_len, n=n, d=d),
@@ -325,6 +365,7 @@ def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, cau
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(*args)
 

@@ -172,7 +172,16 @@ class Trainer:
 
             t_epoch = time.time()
             n_items = 0
-            for i, batch in enumerate(train_loader):
+            t_wait = 0.0  # host input-pipeline stall time
+            it = iter(train_loader)
+            i = -1
+            while True:
+                i += 1
+                t0 = time.perf_counter()
+                batch = next(it, None)
+                t_wait += time.perf_counter() - t0
+                if batch is None:
+                    break
                 if self.limit_train_batches and i >= self.limit_train_batches:
                     break
                 prof.maybe_start()
@@ -199,6 +208,9 @@ class Trainer:
                 {
                     "perf/epoch_time_s": epoch_time,
                     "perf/items_per_s": n_items / max(epoch_time, 1e-9),
+                    # fraction of the epoch spent waiting on the host input
+                    # pipeline (BASELINE.md: host-input-pipeline utilization)
+                    "perf/input_stall_frac": t_wait / max(epoch_time, 1e-9),
                 },
                 int(state.step),
             )
