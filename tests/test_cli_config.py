@@ -92,3 +92,35 @@ def test_cli_requires_config():
 
     with pytest.raises(SystemExit):
         main(["fit"])
+
+
+@pytest.fixture(scope="module")
+def dual_env(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli_dual")
+    ckpt = root / "tiny_clip.pt"
+    from distillclip_tpu.tools.fabricate_teacher import make_clip_state_dict
+    import torch
+
+    torch.save(make_clip_state_dict(vocab_size=49408, context_length=77), str(ckpt))
+    with open("configs/smoke_dual.yaml") as f:
+        cfg = yaml.safe_load(f)
+    cfg["model"]["init_args"]["teacher_name"] = str(ckpt)
+    cfg["data"]["init_args"]["dataset_para"]["size"] = 16
+    cfg["data"]["init_args"]["train_batch_size"] = 8
+    cfg["data"]["init_args"]["val_batch_size"] = 8
+    cfg["trainer"]["max_epochs"] = 1
+    cfg["trainer"]["logger"]["init_args"]["dir"] = str(root / "result")
+    cfg_path = root / "dual.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    return {"root": root, "config": str(cfg_path)}
+
+
+def test_cli_fit_dual_and_resume(dual_env):
+    from distillclip_tpu.cli import main
+
+    assert main(["fit", "-c", dual_env["config"]]) == 0
+    ckpts = dual_env["root"] / "result" / "smoke-dual" / "checkpoints"
+    assert (ckpts / "last").exists()
+    # resume from the checkpoint (fit --ckpt_path)
+    assert main(["fit", "-c", dual_env["config"], "--ckpt", str(ckpts / "last")]) == 0
