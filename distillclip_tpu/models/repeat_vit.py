@@ -423,8 +423,10 @@ class RepeatVisionTransformer(nn.Module):
         # pad keys masked via kv_len; off when per-layer taps are requested
         # or when iRPE is active (bucket tables are length-specific)
         N0 = x.shape[1]
+        from distillclip_tpu.ops.flash_attention import flash_enabled
+
         pad_ok = (not flags.attn_tap() and not flags.need_rep
-                  and self.rpe_config is None)
+                  and self.rpe_config is None and flash_enabled())
         Npad = -(-N0 // 16) * 16 if pad_ok else N0
         kv_len = N0 if (pad_ok and Npad != N0) else None
         if Npad != N0:
@@ -527,8 +529,10 @@ class RepeatTextTransformer(nn.Module):
         # sequence-level padding; NOTE the student text model is
         # bidirectional (quirk preserved) so pad keys MUST be masked
         N0 = x.shape[1]
+        from distillclip_tpu.ops.flash_attention import flash_enabled
+
         pad_ok = (not flags.attn_tap() and not flags.need_rep
-                  and self.rpe_config is None)
+                  and self.rpe_config is None and flash_enabled())
         Npad = -(-N0 // 16) * 16 if pad_ok else N0
         kv_len = N0 if (pad_ok and Npad != N0) else None
         if Npad != N0:

@@ -93,7 +93,10 @@ class VisionTransformer(nn.Module):
         # keys via kv_len.  Skipped when per-layer taps are requested (their
         # shapes are part of the loss contract).
         N = x.shape[1]
-        pad_ok = not flags.attn_tap() and not flags.need_rep
+        from distillclip_tpu.ops.flash_attention import flash_enabled
+
+        pad_ok = (not flags.attn_tap() and not flags.need_rep
+                  and flash_enabled())  # padding only pays off for kernels
         Np = -(-N // 16) * 16 if pad_ok else N
         kv_len = N if (pad_ok and Np != N) else None
         if Np != N:

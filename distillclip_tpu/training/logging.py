@@ -55,6 +55,34 @@ class MetricLogger:
         self._jsonl.write(json.dumps(record) + "\n")
         self._jsonl.flush()
 
+    def log_heatmap(self, key: str, logits, step: int):
+        """Persist raw + softmaxed logits heatmaps (reference log_heatmap,
+        distil_model.py:180-185; opt-in, not called by default there either)."""
+        import numpy as np
+
+        logits = np.asarray(logits, dtype=np.float32)
+        e = np.exp(logits - logits.max(axis=1, keepdims=True))
+        softmax = e / e.sum(axis=1, keepdims=True)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, axes = plt.subplots(1, 2, figsize=(8, 4))
+            axes[0].imshow(logits)
+            axes[0].set_title(f"{key} logits")
+            axes[1].imshow(softmax)
+            axes[1].set_title(f"{key} softmax")
+            path = os.path.join(self.log_dir, f"heatmap_{key.replace('/', '_')}_{step}.png")
+            fig.savefig(path, dpi=80)
+            plt.close(fig)
+        except ImportError:
+            np.savez(
+                os.path.join(self.log_dir, f"heatmap_{key.replace('/', '_')}_{step}.npz"),
+                logits=logits, softmax=softmax,
+            )
+
     @property
     def summary(self) -> Dict[str, float]:
         return dict(self._summary_max)

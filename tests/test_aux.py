@@ -134,3 +134,13 @@ def test_build_profiler_kinds(tmp_path):
     assert build_profiler("simple", str(tmp_path)).__class__.__name__ == "SimpleProfiler"
     with pytest.raises(ValueError):
         build_profiler("bogus", str(tmp_path))
+
+
+def test_metric_logger_heatmap(tmp_path):
+    from distillclip_tpu.training.logging import MetricLogger
+
+    logger = MetricLogger(str(tmp_path), "run", use_tensorboard=False)
+    logger.log_heatmap("val/stu", np.random.default_rng(0).normal(size=(8, 8)), step=3)
+    files = os.listdir(logger.log_dir)
+    assert any(f.startswith("heatmap_val_stu_3") for f in files)
+    logger.close()

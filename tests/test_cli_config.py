@@ -124,3 +124,31 @@ def test_cli_fit_dual_and_resume(dual_env):
     assert (ckpts / "last").exists()
     # resume from the checkpoint (fit --ckpt_path)
     assert main(["fit", "-c", dual_env["config"], "--ckpt", str(ckpts / "last")]) == 0
+
+
+def test_final_configs_parse_and_students_instantiate():
+    """The shipped stage configs must parse; student encoder subtrees must
+    instantiate (teacher loading needs the real checkpoint, not tested)."""
+    from distillclip_tpu.config import load_configs
+    from distillclip_tpu.models.repeat_vit import (
+        RepeatTextTransformer,
+        RepeatVisionTransformer,
+    )
+
+    img = load_configs(["configs/final/image.yaml"])
+    stu = instantiate(img["model"]["init_args"]["student_encoder"])
+    assert isinstance(stu, RepeatVisionTransformer)
+    assert stu.depth == 6 and stu.repeated_times == 2 and stu.num_heads == 24
+    assert img["model"]["init_args"]["teacher_need_layers"] == [0, 1, 10, 11]
+
+    txt = load_configs(["configs/final/text.yaml"])
+    stu = instantiate(txt["model"]["init_args"]["student_encoder"])
+    assert isinstance(stu, RepeatTextTransformer)
+    assert stu.depth == 4 and stu.compression_embedding
+
+    lclip = load_configs(["configs/final/l_clip.yaml"])
+    img_stu = instantiate(lclip["model"]["init_args"]["image_student"])
+    txt_stu = instantiate(lclip["model"]["init_args"]["text_student"])
+    assert isinstance(img_stu, RepeatVisionTransformer)
+    assert isinstance(txt_stu, RepeatTextTransformer)
+    assert lclip["model"]["init_args"]["loss_control_para"]["loss_scale"] == {"cos_diff": 0.1}
