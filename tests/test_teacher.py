@@ -210,3 +210,36 @@ def test_need_layers_threading(ckpt_path):
     imgs = jnp.zeros((1, RES, RES, 3))
     out = module.apply(variables, imgs, ControlFlags(need_rep=True))
     assert out.representations.shape[0] == 2
+
+
+def test_init_layers_with_teacher(ckpt_path):
+    """begin/end/mid layer-mapped warm start (image_encoder.py:70-97)."""
+    from distillclip_tpu.models.encoders import ImageEncoder
+    from distillclip_tpu.models.teacher_init import init_layers_with_teacher
+
+    module, tvars = load_image_teacher(ckpt_path)
+    tea_tower = tvars["params"]["visual"]
+
+    stu = ImageEncoder(is_student=True, input_resolution=RES, patch_size=PATCH,
+                       width=V_WIDTH, layers=2, heads=1, output_dim=OUT,
+                       teacher_width=V_WIDTH)
+    import jax
+    sp = stu.init(jax.random.PRNGKey(0), jnp.zeros((1, RES, RES, 3)),
+                  ControlFlags())["params"]["visual"]
+
+    begun = init_layers_with_teacher(sp, tea_tower, "begin")
+    np.testing.assert_array_equal(
+        np.asarray(begun["transformer"]["resblocks_0"]["attn"]["in_proj"]["kernel"]),
+        np.asarray(tea_tower["transformer"]["resblocks_0"]["attn"]["in_proj"]["kernel"]),
+    )
+    ended = init_layers_with_teacher(sp, tea_tower, "end")
+    np.testing.assert_array_equal(
+        np.asarray(ended["transformer"]["resblocks_1"]["attn"]["in_proj"]["kernel"]),
+        np.asarray(tea_tower["transformer"][f"resblocks_{V_LAYERS - 1}"]["attn"]["in_proj"]["kernel"]),
+    )
+    # non-block params copied too
+    np.testing.assert_array_equal(
+        np.asarray(begun["positional_embedding"]), np.asarray(tea_tower["positional_embedding"])
+    )
+    with pytest.raises(ValueError):
+        init_layers_with_teacher(sp, tea_tower, "sideways")
