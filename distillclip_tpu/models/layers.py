@@ -163,6 +163,14 @@ class InstrumentedAttention(nn.Module):
 
         scale = 1.0 / jnp.sqrt(head_dim).astype(jnp.float32)
 
+        # score/prob buffers: fp32 when instrumentation needs them (they are
+        # the loss inputs) or when running in fp32; otherwise the compute
+        # dtype — fp32 [B,H,N,N] pipelines dominate HBM traffic at CLIP
+        # sequence lengths (measured: teacher text tower 8.4GB -> ~4GB)
+        buf_dtype = (
+            jnp.float32 if (x.dtype == jnp.float32 or flags.attn_tap()) else x.dtype
+        )
+
         value_map = None
         if flags.need_value_map:
             # softmax(V V^T / sqrt(d)) over keys (_common.py:68-71)
@@ -170,8 +178,10 @@ class InstrumentedAttention(nn.Module):
             vm = vm * scale
             value_map = jax.nn.softmax(vm, axis=-1)
 
-        scores = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
-        scores = scores * scale
+        scores = jnp.einsum(
+            "bhnd,bhmd->bhnm", q, k, preferred_element_type=buf_dtype
+        )
+        scores = scores * scale.astype(buf_dtype)
         if causal and mask is None:
             from distillclip_tpu.models.transformer import causal_mask
 
@@ -180,7 +190,7 @@ class InstrumentedAttention(nn.Module):
             scores = scores + mask.astype(scores.dtype)
         if kv_len is not None and kv_len < N:
             col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-            scores = scores + jnp.where(col < kv_len, 0.0, -1e9)[None, None]
+            scores = scores + jnp.where(col < kv_len, 0.0, -1e9)[None, None].astype(scores.dtype)
 
         probs = jax.nn.softmax(scores, axis=-1)
         attn = probs

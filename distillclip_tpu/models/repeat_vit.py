@@ -177,14 +177,18 @@ class MiniAttention(nn.Module):
                 out = nn.Dropout(rate=self.proj_drop, deterministic=False)(out)
             return AttentionOutput(hidden=out)
 
+        buf_dtype = (
+            jnp.float32 if (x.dtype == jnp.float32 or flags.attn_tap()) else x.dtype
+        )
+
         value_map = None
         if flags.need_value_map:
             vm = jnp.einsum("bhnd,bhmd->bhnm", v, v, preferred_element_type=jnp.float32)
             vm = vm / math.sqrt(head_dim)
             value_map = jax.nn.softmax(vm, axis=-1)
 
-        q = q * scale
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=jnp.float32)
+        q = q * jnp.asarray(scale, x.dtype)
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k, preferred_element_type=buf_dtype)
         attention_scores = attn if flags.need_attn_score else None
 
         rpe = None
@@ -205,12 +209,12 @@ class MiniAttention(nn.Module):
             )
             attn = jnp.einsum(
                 "hg,bgnm->bhnm", conv_l[repeat_id].astype(attn.dtype), attn,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=buf_dtype,
             )
 
         if kv_len is not None and kv_len < N:
             col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
-            attn = attn + jnp.where(col < kv_len, 0.0, -1e9)[None, None]
+            attn = attn + jnp.where(col < kv_len, 0.0, -1e9)[None, None].astype(attn.dtype)
 
         attn = jax.nn.softmax(attn, axis=-1)
         attention_probs = attn if flags.need_attn_prob else None
@@ -223,7 +227,7 @@ class MiniAttention(nn.Module):
             )
             attn = jnp.einsum(
                 "hg,bgnm->bhnm", conv_w[repeat_id].astype(attn.dtype), attn,
-                preferred_element_type=jnp.float32,
+                preferred_element_type=buf_dtype,
             )
 
         if self.attn_drop > 0.0 and not deterministic:

@@ -51,9 +51,16 @@ NEG_INF = -1e9
 
 
 def flash_enabled() -> bool:
-    """Global kill-switch: DISTILLCLIP_FLASH=0 routes all attention through
-    the XLA path (useful for A/B benchmarking and debugging)."""
-    return os.environ.get("DISTILLCLIP_FLASH", "1") != "0"
+    """Fused-kernel opt-in: DISTILLCLIP_FLASH=1 enables the Pallas attention
+    paths (+ tower sequence padding).
+
+    Default is OFF: measured on v5e (BENCH_NOTES.md), the current kernels
+    reach XLA parity on the teacher towers but the end-to-end L-CLIP step is
+    still fastest on the XLA path (1823 vs 1674 pairs/s/chip at batch 256)
+    because the dominant cost — the weight-share student's cross-head
+    transform attention — cannot be fused yet (Mosaic relayout limits).
+    Flip the default when the kernels win end-to-end."""
+    return os.environ.get("DISTILLCLIP_FLASH", "0") == "1"
 
 
 def _interpret() -> bool:

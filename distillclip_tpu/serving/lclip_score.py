@@ -156,12 +156,20 @@ class LCLIPScorer:
         return np.sum(img_f * txt_f, axis=1)
 
     def score_files(self, image_paths: Sequence[str], captions: Sequence[str]) -> np.ndarray:
-        from PIL import Image
+        from distillclip_tpu.data import native_loader
 
-        from distillclip_tpu.data.transforms import eval_image_transform
+        if native_loader.available():
+            # C++ threaded JPEG decode pipeline (native/dataloader.cc)
+            images = native_loader.decode_batch_files(
+                [str(p) for p in image_paths], size=self.image_size
+            )
+        else:
+            from PIL import Image
 
-        transform = eval_image_transform(self.image_size)
-        images = np.stack([transform(Image.open(str(p))) for p in image_paths])
+            from distillclip_tpu.data.transforms import eval_image_transform
+
+            transform = eval_image_transform(self.image_size)
+            images = np.stack([transform(Image.open(str(p))) for p in image_paths])
         return self.score_arrays(images, captions)
 
     def similarity_matrix(self, images: np.ndarray, captions: Sequence[str]) -> np.ndarray:

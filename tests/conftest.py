@@ -36,6 +36,8 @@ if "xla_force_host_platform_device_count" not in os.environ.get("XLA_FLAGS", "")
         os.environ.get("XLA_FLAGS", "") + " " + _DEVICES_FLAG
     ).strip()
 
+os.environ.setdefault("DISTILLCLIP_FLASH", "1")  # exercise kernels in tests
+
 import jax  # noqa: E402  (already imported by sitecustomize; config still mutable)
 
 jax.config.update("jax_platforms", "cpu")
