@@ -142,12 +142,10 @@ def main():
         b_inputs = shard_batch(mesh, jnp.asarray(inputs))
         step = lambda st: step_fn(st, task.teacher_vars, b_inputs, rng)
 
-    import numpy as _np
-
     def fence(m):
         # host readback is the only reliable completion fence on remote
         # (tunneled) backends where block_until_ready returns at dispatch
-        return float(_np.asarray(m["loss"]))
+        return float(np.asarray(m["loss"]))
 
     for _ in range(args.warmup):
         state, metrics = step(state)

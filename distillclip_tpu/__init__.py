@@ -34,3 +34,26 @@ __all__ = [
     "CLIPOutput",
     "__version__",
 ]
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps bare import light):
+
+    DistillTask, DualDistillTask, Trainer, LCLIPScorer, LossCalculator,
+    CLIPModel, teacher_load, MainDataModule.
+    """
+    lazy = {
+        "DistillTask": "distillclip_tpu.training.distill",
+        "DualDistillTask": "distillclip_tpu.training.dual",
+        "Trainer": "distillclip_tpu.training.trainer",
+        "LCLIPScorer": "distillclip_tpu.serving.lclip_score",
+        "LossCalculator": "distillclip_tpu.losses.calculator",
+        "CLIPModel": "distillclip_tpu.models.clip",
+        "teacher_load": "distillclip_tpu.models.teacher",
+        "MainDataModule": "distillclip_tpu.data.datamodule",
+    }
+    if name in lazy:
+        import importlib
+
+        return getattr(importlib.import_module(lazy[name]), name)
+    raise AttributeError(f"module 'distillclip_tpu' has no attribute {name!r}")

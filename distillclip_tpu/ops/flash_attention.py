@@ -153,11 +153,6 @@ def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
     dv_ref[...] = dv.astype(dv_ref.dtype)
 
 
-def _plain_shapes(q):
-    BHN, D = q.shape[0], q.shape[2]
-    return BHN, D
-
-
 def _plain_fwd(qf, kf, vf, scale, causal, g, np_len, n):
     """qf/kf/vf: [BH*Np, d] packed rows."""
     rows_total, D = qf.shape
@@ -339,8 +334,7 @@ def _rows_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                 dv_ref[lo:lo + np_len, sl] = dv[src, :].astype(dv_ref.dtype)
 
 
-def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, causal, n,
-               lse_in=False):
+def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, causal, n):
     rows_blk = gb * np_len
     n_blocks = rows_total // rows_blk
     hc = _head_chunk(h, np_len)

@@ -13,7 +13,7 @@ text as tokens; per-pair score = cos(image_feature, text_feature).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

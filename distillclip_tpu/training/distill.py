@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from distillclip_tpu.losses import LossCalculator
 from distillclip_tpu.models import ControlFlags, l2_normalize
@@ -83,7 +83,6 @@ class DistillTask:
         self._dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
         # student/teacher selected-layer alignment check (distil_model.py:52-57)
-        stu_layers = getattr(self.student, "need_layers", None)
         if isinstance(self.student, ImageEncoder):
             tea = self.teacher.selected_layers
             stu = self.student.selected_layers

@@ -15,7 +15,7 @@ SURVEY.md §2.6 and BASELINE.json, and it comes free from sharding.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

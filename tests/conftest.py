@@ -42,3 +42,26 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still mutab
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _drain_async_dispatch():
+    """Block on every live array before interpreter exit.
+
+    Tests that inspect only shapes/dtypes can leave sharded computations
+    in flight; on this 1-core host their collective rendezvous threads can
+    still be parked at process exit and hard-abort (rendezvous termination)
+    AFTER pytest prints its summary — flipping a green run into SIGABRT.
+    """
+    yield
+    try:
+        for arr in list(jax.live_arrays()):
+            try:
+                arr.block_until_ready()
+            except Exception:
+                pass
+    except Exception:
+        pass
