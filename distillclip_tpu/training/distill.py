@@ -66,6 +66,7 @@ class DistillTask:
     unfreeze_epoch: Optional[int] = None
     compute_dtype: str = "bfloat16"
     grad_clip_norm: Optional[float] = None
+    log_grad_norm: bool = False  # extra full-grad read per step; off like the reference
 
     def __post_init__(self):
         if self.model_type not in ("text", "image"):
@@ -249,7 +250,8 @@ class DistillTask:
             )
             new_state = state.apply_gradients(grads, tx, trainable_mask)
             metrics = {"loss": loss, **parts}
-            metrics["grad_norm"] = optax.global_norm(grads)
+            if self.log_grad_norm:
+                metrics["grad_norm"] = optax.global_norm(grads)
             return new_state, metrics
 
         return jax.jit(

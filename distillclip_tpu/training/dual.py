@@ -76,6 +76,7 @@ class DualDistillTask:
     freeze_prefix: Optional[List[str]] = None
     compute_dtype: str = "bfloat16"
     grad_clip_norm: Optional[float] = None
+    log_grad_norm: bool = False  # extra full-grad read per step; off like the reference
 
     def __post_init__(self):
         self.student = CLIPModel(
@@ -252,7 +253,9 @@ class DualDistillTask:
                 state.params, teacher_vars, tokens, images, rng, deterministic
             )
             new_state = state.apply_gradients(grads, tx, trainable_mask)
-            metrics = {"loss": loss, **parts, "grad_norm": optax.global_norm(grads)}
+            metrics = {"loss": loss, **parts}
+            if self.log_grad_norm:
+                metrics["grad_norm"] = optax.global_norm(grads)
             return new_state, metrics
 
         return jax.jit(

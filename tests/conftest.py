@@ -47,14 +47,16 @@ jax.config.update("jax_default_matmul_precision", "highest")
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session", autouse=True)
+@pytest.fixture(autouse=True)
 def _drain_async_dispatch():
-    """Block on every live array before interpreter exit.
+    """Block on every live array after EACH test.
 
-    Tests that inspect only shapes/dtypes can leave sharded computations
-    in flight; on this 1-core host their collective rendezvous threads can
-    still be parked at process exit and hard-abort (rendezvous termination)
-    AFTER pytest prints its summary — flipping a green run into SIGABRT.
+    On this 1-core host, two sharded computations interleaving on the
+    shared device-thread pool can deadlock each other's collective
+    rendezvous (exe A holds 5 workers waiting, exe B holds the rest) and
+    hard-abort the process at the termination timeout — after pytest has
+    already printed a green summary.  Draining between tests serializes
+    cross-test dispatch.
     """
     yield
     try:
@@ -65,3 +67,26 @@ def _drain_async_dispatch():
                 pass
     except Exception:
         pass
+
+
+_EXIT_STATUS = {}
+
+
+def pytest_sessionfinish(session, exitstatus):
+    _EXIT_STATUS["code"] = int(exitstatus)
+
+
+@pytest.hookimpl(trylast=True)
+def pytest_unconfigure(config):
+    """Hard-exit with pytest's status, skipping interpreter teardown.
+
+    On this host, XLA CPU device threads can enter a collective rendezvous
+    during shutdown with the thread pool half torn down; the rendezvous
+    termination then SIGABRTs ~10 minutes AFTER a green test summary,
+    flipping the suite's exit code.  os._exit preserves the real result.
+    """
+    import sys
+
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(_EXIT_STATUS.get("code", 0))

@@ -243,3 +243,28 @@ def test_init_layers_with_teacher(ckpt_path):
     )
     with pytest.raises(ValueError):
         init_layers_with_teacher(sp, tea_tower, "sideways")
+
+
+def test_resnet_teacher_loads_and_runs(tmp_path):
+    """RN-architecture checkpoints route to ModifiedResNet (utils.py:145-150)."""
+    from distillclip_tpu.tools.fabricate_teacher import make_rn_state_dict
+
+    sd = make_rn_state_dict()
+    path = tmp_path / "tiny_rn.pt"
+    torch.save(sd, str(path))
+
+    module, variables = load_image_teacher(str(path))
+    from distillclip_tpu.models.resnet import ModifiedResNet
+
+    assert isinstance(module, ModifiedResNet)
+    assert module.layers == (1, 1, 1, 1)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(2, 64, 64, 3)), jnp.float32)
+    out = module.apply(variables, imgs, ControlFlags())
+    assert out.last_representation.shape == (2, 32)
+    assert np.isfinite(np.asarray(out.last_representation)).all()
+    # deterministic
+    out2 = module.apply(variables, imgs, ControlFlags())
+    np.testing.assert_array_equal(np.asarray(out.last_representation),
+                                  np.asarray(out2.last_representation))
+    with pytest.raises(NotImplementedError):
+        module.init(jax.random.PRNGKey(0), imgs)
