@@ -87,7 +87,8 @@ class SimpleTokenizer:
     SOT = "<|startoftext|>"
     EOT = "<|endoftext|>"
 
-    def __init__(self, bpe_path: str, merge_limit: Optional[int] = 48894):
+    def __init__(self, bpe_path: str, merge_limit: Optional[int] = 48894,
+                 use_native: bool = True):
         self.byte_encoder = bytes_to_unicode()
         self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
 
@@ -109,6 +110,11 @@ class SimpleTokenizer:
         self.decoder = {i: tok for tok, i in self.encoder.items()}
         self.bpe_ranks = dict(zip(merges, range(len(merges))))
         self.cache = {self.SOT: self.SOT, self.EOT: self.EOT}
+
+        # optional C++ merge loop (native/bpe.cc); ids verified identical
+        self._native = None
+        if use_native:
+            self._native = _load_native_bpe(merges)
 
     @property
     def vocab_size(self) -> int:
@@ -162,9 +168,13 @@ class SimpleTokenizer:
     def encode(self, text: str) -> List[int]:
         bpe_tokens: List[int] = []
         text = whitespace_clean(basic_clean(text)).lower()
+        native = self._native
         for token in re.findall(_PAT, text):
             token = "".join(self.byte_encoder[b] for b in token.encode("utf-8"))
-            bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
+            if native is not None:
+                bpe_tokens.extend(native.encode_word(token))
+            else:
+                bpe_tokens.extend(self.encoder[t] for t in self.bpe(token).split(" "))
         return bpe_tokens
 
     def decode(self, tokens: Iterable[int]) -> str:
@@ -198,6 +208,53 @@ class SimpleTokenizer:
                 tokens[-1] = self.eot_token
             result[i, : len(tokens)] = tokens
         return result
+
+
+class _NativeBpe:
+    """ctypes wrapper over native/libdcbpe.so (exact-id C++ merge loop)."""
+
+    def __init__(self, lib, handle):
+        import ctypes
+
+        self._lib = lib
+        self._handle = handle
+        self._buf = (ctypes.c_int32 * 512)()
+
+    def encode_word(self, word: str) -> List[int]:
+        n = self._lib.dc_bpe_encode_word(self._handle, word.encode("utf-8"),
+                                         self._buf, 512)
+        if n < 0:
+            raise KeyError(f"native BPE: unknown token in {word!r}")
+        return list(self._buf[: min(n, 512)])
+
+
+def _load_native_bpe(merges):
+    import ctypes
+
+    candidates = [
+        os.environ.get("DCBPE_PATH") or "",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))), "native", "libdcbpe.so"),
+    ]
+    path = next((c for c in candidates if c and os.path.exists(c)), None)
+    if path is None:
+        return None
+    try:
+        lib = ctypes.CDLL(path)
+        lib.dc_bpe_create.restype = ctypes.c_void_p
+        lib.dc_bpe_create.argtypes = [ctypes.c_char_p]
+        lib.dc_bpe_encode_word.restype = ctypes.c_int
+        lib.dc_bpe_encode_word.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+        ]
+        lib.dc_bpe_vocab_size.restype = ctypes.c_int
+        lib.dc_bpe_vocab_size.argtypes = [ctypes.c_void_p]
+        merges_text = "\n".join(" ".join(m) for m in merges)
+        handle = lib.dc_bpe_create(merges_text.encode("utf-8"))
+        return _NativeBpe(lib, handle)
+    except OSError:
+        return None
 
 
 class HashTokenizer:

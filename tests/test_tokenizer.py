@@ -87,3 +87,30 @@ def test_hash_tokenizer_fallback(tmp_path):
     # deterministic
     arr2 = tok.tokenize(["a cat on a mat"], context_length=16)
     np.testing.assert_array_equal(arr, arr2)
+
+
+def test_native_bpe_matches_python(bpe_path):
+    """C++ merge loop (native/bpe.cc) must produce identical ids."""
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+    if not os.path.exists(os.path.join(native_dir, "libdcbpe.so")):
+        r = subprocess.run(["make", "-C", native_dir, "libdcbpe.so"],
+                           capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip("native build unavailable")
+
+    py_tok = SimpleTokenizer(bpe_path, merge_limit=None, use_native=False)
+    nat_tok = SimpleTokenizer(bpe_path, merge_limit=None, use_native=True)
+    assert nat_tok._native is not None
+    assert nat_tok._native._lib.dc_bpe_vocab_size(nat_tok._native._handle) == py_tok.vocab_size
+
+    texts = ["hello", "hello hello", "hellohello h e", "ohh hell hello!",
+             "unicode café über", "123 mixed-case HeLLo"]
+    for t in texts:
+        assert py_tok.encode(t) == nat_tok.encode(t), t
+    np.testing.assert_array_equal(
+        py_tok.tokenize(texts, context_length=32),
+        nat_tok.tokenize(texts, context_length=32),
+    )
