@@ -91,6 +91,7 @@ def cmd_score(args) -> int:
         text_ckpt=args.text_ckpt,
         config=args.config[0] if args.config else None,
         bpe_path=args.bpe_path,
+        teacher_name=args.teacher,
     )
     if args.images and args.captions:
         with open(args.captions) as f:
@@ -131,6 +132,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_score.add_argument("--images", help="directory of images")
     p_score.add_argument("--captions", help="file with one caption per line")
     p_score.add_argument("--bpe-path", default=None)
+    p_score.add_argument("--teacher", default="ViT-B/32",
+                         help="teacher name or checkpoint path (used when no student ckpts)")
     p_score.set_defaults(fn=cmd_score)
 
     args = parser.parse_args(argv)

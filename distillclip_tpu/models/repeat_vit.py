@@ -391,6 +391,7 @@ class RepeatVisionTransformer(nn.Module):
     use_transform: bool = False
     rpe_config: Optional[RpeConfig] = None
     need_layers: Optional[Sequence[int]] = None
+    remat: bool = False  # rematerialize each block in backward (less HBM)
 
     @nn.compact
     def __call__(
@@ -441,8 +442,12 @@ class RepeatVisionTransformer(nn.Module):
 
         scores, probs, reps = [], [], []
         value_map = None
+        block_cls = (
+            nn.remat(RepeatedMiniBlock, static_argnums=(2, 3, 4))
+            if self.remat else RepeatedMiniBlock
+        )
         for b in range(n_blocks):
-            block_out = RepeatedMiniBlock(
+            block_out = block_cls(
                 dim=self.embed_dim,
                 num_heads=self.num_heads,
                 repeated_times=self.repeated_times,
@@ -456,7 +461,7 @@ class RepeatVisionTransformer(nn.Module):
                 rpe_config=self.rpe_config,
                 seq_len=seq_len,
                 name=f"blocks_{b}",
-            )(x, flags, kv_len=kv_len, deterministic=deterministic)
+            )(x, flags, kv_len, deterministic)
             x = block_out.hidden
             scores.append(block_out.attention_scores)
             probs.append(block_out.attention_probs)

@@ -93,8 +93,15 @@ class LCLIPScorer:
 
         Without checkpoints this degrades to the CLIP-teacher scorer.
         """
+        image_ckpt = image_ckpt or None
+        text_ckpt = text_ckpt or None
         if image_ckpt is None and text_ckpt is None:
             return cls.from_teacher(teacher_name, download_root, bpe_path)
+        if config is None:
+            raise ValueError(
+                "score with student checkpoints needs --config (the stage-3 "
+                "YAML describing the student tower architectures)"
+            )
 
         import jax.random as jrandom
         import yaml
