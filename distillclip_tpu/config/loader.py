@@ -130,6 +130,7 @@ _TRAINER_KEYS = {
     "limit_val_batches": "limit_val_batches",
     "default_root_dir": "result_dir",
     "profiler": "profiler",
+    "save_every_n_steps": "save_every_n_steps",
 }
 
 

@@ -88,6 +88,7 @@ class Trainer:
     limit_train_batches: Optional[int] = None
     limit_val_batches: Optional[int] = None
     profiler: Optional[str] = None  # None | 'simple' | 'trace'
+    save_every_n_steps: Optional[int] = None  # preemption-safe autosave
 
     def fit(self, task, datamodule, ckpt_path: Optional[str] = None) -> Dict[str, Any]:
         from distillclip_tpu.training.profiling import build_profiler
@@ -198,6 +199,16 @@ class Trainer:
                         )
                 prof.step()
                 n_items += len(jax.tree_util.tree_leaves(batch)[0])
+                if (
+                    self.save_every_n_steps
+                    and int(state.step) % self.save_every_n_steps == 0
+                ):
+                    from distillclip_tpu.training.checkpoints import save_pytree
+
+                    save_pytree(
+                        f"{self.result_dir}/{self.run_name}/checkpoints/autosave",
+                        {"state": jax.device_get(state), "epoch": epoch},
+                    )
                 if i % self.log_every_n_steps == 0:
                     logged = {f"train_loss/{k}": float(v) for k, v in metrics.items()}
                     logged["epoch"] = epoch

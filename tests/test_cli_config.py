@@ -152,3 +152,19 @@ def test_final_configs_parse_and_students_instantiate():
     assert isinstance(img_stu, RepeatVisionTransformer)
     assert isinstance(txt_stu, RepeatTextTransformer)
     assert lclip["model"]["init_args"]["loss_control_para"]["loss_scale"] == {"cos_diff": 0.1}
+
+
+def test_autosave_every_n_steps(smoke_env):
+    """Preemption-safe step-interval checkpointing."""
+    with open(smoke_env["config"]) as f:
+        cfg = yaml.safe_load(f)
+    cfg["trainer"]["save_every_n_steps"] = 1
+    cfg["trainer"]["logger"]["init_args"]["name"] = "smoke-autosave"
+    path = smoke_env["root"] / "autosave.yaml"
+    with open(path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    from distillclip_tpu.cli import main
+
+    assert main(["fit", "-c", str(path)]) == 0
+    autosave = smoke_env["root"] / "result" / "smoke-autosave" / "checkpoints" / "autosave"
+    assert autosave.exists()
