@@ -18,6 +18,13 @@ This kernel keeps everything 2D so Mosaic can lower it:
 Forward only: the backward runs the (bf16-buffered) XLA recompute path via
 custom_vjp.  The backward admits the same colcat structure (all mixes are
 matmuls against the transposed kron constants) — planned follow-up.
+
+Status (measured on v5e, B=128/H=24/Np=64/d=32): compiles, matches the XLA
+oracle to bf16 rounding (4e-3), but the kron mixes inflate head-mix FLOPs
+by ~Np x (identity-block zeros ride the MXU) and the 6-layer forward runs
+6.56 ms vs 4.93 ms for XLA — so this kernel is NOT wired into the model
+paths yet.  See BENCH_NOTES.md "Next levers" for the j-batched rank-3 mix
+reformulation that removes the inflation.
 """
 
 from __future__ import annotations
@@ -46,8 +53,10 @@ def _interpret() -> bool:
 def _tf_colcat_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref,
                       colcat, vbd, *, scale, gb, h, np_len, n, d):
     HN = h * np_len
-    row = jax.lax.broadcasted_iota(jnp.int32, (HN, HN), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (HN, HN), 1)
+    # [HN,1] vs [1,HN] broadcast-compare: full [HN,HN] i32 iotas would cost
+    # ~2*HN^2*4 bytes of scoped VMEM (19MB at H=24,Np=64) and OOM the kernel
+    row = jax.lax.broadcasted_iota(jnp.int32, (HN, 1), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
     eye_blk = (row % np_len == col % np_len).astype(jnp.bfloat16)
 
     # block-indicator [HN, H]: D[g*Np + j, h] = (g == h)
@@ -60,18 +69,18 @@ def _tf_colcat_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref,
         # matmuls (pltpu.repeat TILES rather than block-repeats)
         wt = jnp.transpose(w_ref[...].astype(jnp.bfloat16))  # [H, H]
         tmp = jax.lax.dot_general(
-            wt, Dsmall, (((1,), (1,)), ((), ())), preferred_element_type=jnp.bfloat16
-        )  # [H, HN]: tmp[g, c] = wt[g, c//Np]
+            wt, Dsmall, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)  # [H, HN]: tmp[g, c] = wt[g, c//Np]
         big = jax.lax.dot_general(
-            Dsmall, tmp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.bfloat16
-        )  # [HN, HN]: big[r, c] = wt[r//Np, c//Np]
+            Dsmall, tmp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        ).astype(jnp.bfloat16)  # [HN, HN]: big[r, c] = wt[r//Np, c//Np]
         return big * eye_blk
 
     Ml = kron_t(wl_ref)
     Mw = kron_t(ww_ref)
 
-    # kv-pad mask on colcat lanes
-    ccol = jax.lax.broadcasted_iota(jnp.int32, (np_len, HN), 1)
+    # kv-pad mask on colcat lanes ([1,HN]; broadcasts over the row dim)
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
     kv_bias = jnp.where((ccol % np_len) < n, 0.0, NEG_INF).astype(jnp.float32)
 
     for s in range(gb):
@@ -137,6 +146,11 @@ def _tf_colcat_fwd(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d):
             pltpu.VMEM((np_len, h * np_len), jnp.float32),   # colcat
             pltpu.VMEM((h * np_len, HD), q2.dtype),          # block-diag V
         ],
+        compiler_params=pltpu.CompilerParams(
+            # Ml/Mw/eye_blk are [HN,HN] register-resident constants
+            # (~4.7MB each at H=24,Np=64); the 16MB default is too tight
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(q2, k2, v2, wl, ww)
 
