@@ -135,14 +135,35 @@ class MiniAttention(nn.Module):
             and self.rpe_config is None
             and N <= 256
         )
-        if flash_ok and not self.use_transform and N % 16 == 0:
-            # rows-layout kernel on the natural [B, N, H*d] layout
-            from distillclip_tpu.ops.flash_attention import flash_attention_rows
+        if flash_ok and N % 16 == 0:
+            # rows-layout kernels on the natural [B, N, H*d] layout
+            if self.use_transform:
+                from distillclip_tpu.ops.transform_attention import (
+                    transform_attention_rows,
+                )
 
-            ctx = flash_attention_rows(
-                qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :],
-                heads=self.num_heads, scale=scale, kv_len=kv_len,
-            )
+                conv_l = self.param(
+                    "conv_l", trunc_normal_02,
+                    (self.repeated_times, self.num_heads, self.num_heads),
+                    jnp.float32,
+                )
+                conv_w = self.param(
+                    "conv_w", trunc_normal_02,
+                    (self.repeated_times, self.num_heads, self.num_heads),
+                    jnp.float32,
+                )
+                ctx = transform_attention_rows(
+                    qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :],
+                    conv_l[repeat_id], conv_w[repeat_id],
+                    heads=self.num_heads, scale=scale, kv_len=kv_len,
+                )
+            else:
+                from distillclip_tpu.ops.flash_attention import flash_attention_rows
+
+                ctx = flash_attention_rows(
+                    qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :],
+                    heads=self.num_heads, scale=scale, kv_len=kv_len,
+                )
             out = StudentDense(C, name="proj")(ctx.astype(x.dtype))
             if self.proj_drop > 0.0 and not deterministic:
                 out = nn.Dropout(rate=self.proj_drop, deterministic=False)(out)

@@ -1,37 +1,46 @@
-"""Fused head-transform attention (colcat formulation) — forward kernel.
+"""Fused head-transform attention — conv mixes folded into the two matmuls.
 
 The weight-share student's attention applies [H, H] cross-head mixes to the
 logits (conv_l, pre-softmax) and probs (conv_w, post-softmax)
-(reference weight_share_model.py:114-121), which defeats per-head fusion.
-This kernel keeps everything 2D so Mosaic can lower it:
+(reference weight_share_model.py:114-121), which defeats per-head fusion
+and makes the transform path the most expensive attention in the step.
 
-* per-head scores are written into a COLCAT scratch [Np, H*Np]
-  (scratch stores relayout lane offsets; concat does not),
-* the head mixes become single 2D matmuls against kron(W^T, I_Np)
-  matrices built in-register from pltpu.repeat + iota,
-* block softmax: global-row max (safe upper bound), f32 exp, per-block
-  denominators via a [H*Np, H] block-indicator matmul, broadcast back with
-  pltpu.repeat,
-* the output contraction uses a block-diagonal V scratch so ONE
-  [Np, H*Np] @ [H*Np, H*d] matmul emits the natural lane-dense layout.
+Key identity (scores are bilinear in q and k, so the cross-head weight can
+ride on K; the output is linear in probs and v, so conv_w can ride on V):
+
+* conv_l:  s2[i,(h,j)] = sum_{g,d} q[i,(g,d)] * Wl[h,g] * k[j,(g,d)]
+           = dot(q, WLX * repeat(k, H), contract features)         -- colcat
+* conv_w:  o[i,(h,d)]  = sum_{g,j} p[i,(g,j)] * Ww[h,g] * v[j,(h,d)]
+           = dot(p_colcat, WWX * repeat(v, H))     -- NATURAL layout output
+
+with the weight-expansion masks WLX[(h,j),(g,d)] = Wl[h,g] and
+WWX[(g,j),(h,d)] = Ww[h,g] built once per grid step by block-indicator
+matmuls.  Each sample's attention is then: one tile-repeat + one VPU
+multiply + ONE MXU-shaped matmul on each side of a block softmax
+(global-row max, f32 exp, per-head-block denominators via an indicator
+matmul, 1e-30 underflow guard).
+
+Mosaic rules encoded here (probed on hardware, see BENCH_NOTES.md):
+matmul accumulators must be 32-bit; iotas built as [N,1]x[1,N] broadcast
+compares (full 2D iota pairs OOM the scoped-VMEM budget); pltpu.repeat
+TILES its operand (exactly what the repeat(k/v, H) stacking needs);
+broadcast adds are safe on plain 2D dot outputs (NOT on batched-dot
+outputs, which SIGABRT the compiler).
+
+Measured on v5e (B=128, H=24, Np=64, d=32): 6-layer forward 3.94 ms vs
+4.81 ms for the unfused XLA path — the first hardware win on this path.
+Earlier formulations and why they lost are recorded in BENCH_NOTES.md.
 
 Forward only: the backward runs the (bf16-buffered) XLA recompute path via
-custom_vjp.  The backward admits the same colcat structure (all mixes are
-matmuls against the transposed kron constants) — planned follow-up.
-
-Status (measured on v5e, B=128/H=24/Np=64/d=32): compiles, matches the XLA
-oracle to bf16 rounding (4e-3), but the kron mixes inflate head-mix FLOPs
-by ~Np x (identity-block zeros ride the MXU) and the 6-layer forward runs
-6.56 ms vs 4.93 ms for XLA — so this kernel is NOT wired into the model
-paths yet.  See BENCH_NOTES.md "Next levers" for the j-batched rank-3 mix
-reformulation that removes the inflation.
+custom_vjp.  The backward admits the same folded structure — planned
+follow-up.
 """
 
 from __future__ import annotations
 
 import functools
 import math
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -50,105 +59,82 @@ def _interpret() -> bool:
         return True
 
 
-def _tf_colcat_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref,
-                      colcat, vbd, *, scale, gb, h, np_len, n, d):
+def _tf_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref,
+               *, scale, gb, h, np_len, n, d):
     HN = h * np_len
-    # [HN,1] vs [1,HN] broadcast-compare: full [HN,HN] i32 iotas would cost
-    # ~2*HN^2*4 bytes of scoped VMEM (19MB at H=24,Np=64) and OOM the kernel
-    row = jax.lax.broadcasted_iota(jnp.int32, (HN, 1), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
-    eye_blk = (row % np_len == col % np_len).astype(jnp.bfloat16)
+    HD = h * d
+    # block indicators ([rows -> head index]); [X,1]x[1,h] compares keep the
+    # scoped-VMEM cost tiny compared to full 2D iota pairs
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
+    Drow = (r1 // np_len == c1).astype(jnp.float32)          # [(x,j) -> x]
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 1)
+    Dcol = (r2 // d == c2).astype(jnp.float32)               # [(x,d) -> x]
 
-    # block-indicator [HN, H]: D[g*Np + j, h] = (g == h)
-    r2 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
-    c2 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
-    Dsmall = (r2 // np_len == c2).astype(jnp.bfloat16)
-
-    def kron_t(w_ref):
-        # K[r, c] = W[c//Np, r//Np] * (r%Np == c%Np), built by indicator
-        # matmuls (pltpu.repeat TILES rather than block-repeats)
-        wt = jnp.transpose(w_ref[...].astype(jnp.bfloat16))  # [H, H]
-        tmp = jax.lax.dot_general(
-            wt, Dsmall, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)  # [H, HN]: tmp[g, c] = wt[g, c//Np]
-        big = jax.lax.dot_general(
-            Dsmall, tmp, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        ).astype(jnp.bfloat16)  # [HN, HN]: big[r, c] = wt[r//Np, c//Np]
-        return big * eye_blk
-
-    Ml = kron_t(wl_ref)
-    Mw = kron_t(ww_ref)
+    wl = wl_ref[...].astype(jnp.float32)
+    ww = ww_ref[...].astype(jnp.float32)
+    # WLX[(h,j),(g,d)] = wl[h,g] : Drow @ wl @ Dcol^T
+    t1 = jax.lax.dot_general(Drow, wl, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    WLX = jax.lax.dot_general(t1, Dcol, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)         # [HN, HD]
+    # WWX[(g,j),(h,d)] = ww[h,g] : Drow @ ww^T @ Dcol^T
+    t2 = jax.lax.dot_general(Drow, ww, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    WWX = jax.lax.dot_general(t2, Dcol, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)         # [HN, HD]
 
     # kv-pad mask on colcat lanes ([1,HN]; broadcasts over the row dim)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
     kv_bias = jnp.where((ccol % np_len) < n, 0.0, NEG_INF).astype(jnp.float32)
+    Dsm = Drow.astype(jnp.bfloat16)
 
     for s in range(gb):
         lo = s * np_len
-        # 1) per-head scores into colcat [Np, H*Np]
-        for i in range(h):
-            sl = slice(i * d, (i + 1) * d)
-            q_h = q_ref[lo:lo + np_len, sl]
-            k_h = k_ref[lo:lo + np_len, sl]
-            s_h = jax.lax.dot_general(
-                q_h, k_h, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-            ) * scale
-            colcat[:, i * np_len:(i + 1) * np_len] = s_h
-        # 2) conv_l mix (2D matmul), then pad mask
+        # 1) conv_l-mixed scores, ONE matmul into colcat [Np, (h,j)]
+        kx = pltpu.repeat(k_ref[lo:lo + np_len, :], h, 0)    # [HN, HD]
         s2 = jax.lax.dot_general(
-            colcat[...].astype(jnp.bfloat16), Ml, (((1,), (0,)), ((), ())),
+            q_ref[lo:lo + np_len, :], WLX * kx, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) + kv_bias
-        # 3) block softmax with global-row max
+        ) * scale + kv_bias
+        # 2) block softmax with global-row max; per-head-block denominators
         m = jnp.max(s2, axis=-1, keepdims=True)
-        e = jnp.exp(s2 - m)  # [Np, HN] f32
+        e = jnp.exp(s2 - m)
         denom = jax.lax.dot_general(
-            e.astype(jnp.bfloat16), Dsmall, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Np, H]
+            e.astype(jnp.bfloat16), Dsm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [Np, h]
         denom_full = jax.lax.dot_general(
-            denom, Dsmall.astype(jnp.float32), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # [Np, HN]: denom broadcast to its head block
+            denom, Drow, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [Np, HN]
         # guard: with a global-row max, a head whose logits sit far below
         # another head's can underflow entirely; keep it at zero, not NaN
         p = e / jnp.maximum(denom_full, 1e-30)
-        # 4) conv_w mix
-        p2 = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), Mw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # 5) block-diagonal V; one matmul emits the natural layout
-        vbd[...] = jnp.zeros_like(vbd)
-        for i in range(h):
-            sl = slice(i * d, (i + 1) * d)
-            vbd[i * np_len:(i + 1) * np_len, sl] = v_ref[lo:lo + np_len, sl]
+        # 3) conv_w-mixed output, ONE matmul emitting the natural layout
+        vx = pltpu.repeat(v_ref[lo:lo + np_len, :], h, 0)    # [HN, HD]
         o = jax.lax.dot_general(
-            p2.astype(jnp.bfloat16), vbd[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            p.astype(jnp.bfloat16), WWX * vx, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)              # [Np, HD]
         o_ref[lo:lo + np_len, :] = o.astype(o_ref.dtype)
 
 
-def _tf_colcat_fwd(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d):
+def _tf_fwd_call(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d):
     rows_total, HD = q2.shape
     rows_blk = gb * np_len
     blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_blk = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_tf_colcat_kernel, scale=scale, gb=gb, h=h,
+        functools.partial(_tf_kernel, scale=scale, gb=gb, h=h,
                           np_len=np_len, n=n, d=d),
         grid=(rows_total // rows_blk,),
         in_specs=[blk, blk, blk, w_blk, w_blk],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((np_len, h * np_len), jnp.float32),   # colcat
-            pltpu.VMEM((h * np_len, HD), q2.dtype),          # block-diag V
-        ],
         compiler_params=pltpu.CompilerParams(
-            # Ml/Mw/eye_blk are [HN,HN] register-resident constants
-            # (~4.7MB each at H=24,Np=64); the 16MB default is too tight
+            # WLX/WWX and the per-sample repeats are [HN,HD] register-resident
+            # values (~2.3MB each bf16 at H=24,Np=64); 16MB default is tight
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=_interpret(),
@@ -185,7 +171,7 @@ def _tf_rows(q2, k2, v2, wl, ww, scale, n, heads):
             gb = cand
             break
     qf, kf, vf = (t.reshape(B * N, HD) for t in (q2, k2, v2))
-    of = _tf_colcat_fwd(qf, kf, vf, wl, ww, float(scale), n, gb, N, heads, d)
+    of = _tf_fwd_call(qf, kf, vf, wl, ww, float(scale), n, gb, N, heads, d)
     return of.reshape(B, N, HD)
 
 
