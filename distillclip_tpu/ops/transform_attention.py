@@ -141,6 +141,148 @@ def _tf_fwd_call(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d):
     )(q2, k2, v2, wl, ww)
 
 
+def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
+                   dq_ref, dk_ref, dv_ref, dwl_ref, dww_ref,
+                   *, scale, gb, h, np_len, n, d):
+    """Fused backward: recomputes the folded forward, then runs the
+    transposed identities — all 2D matmuls (contractions over the row dim
+    replace transposes, which Mosaic lacks)."""
+    HN = h * np_len
+    HD = h * d
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
+    Drow = (r1 // np_len == c1).astype(jnp.float32)
+    r2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 0)
+    c2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 1)
+    Dcol = (r2 // d == c2).astype(jnp.float32)
+    # row selector E[j, (x,j')] = (j == j'): sums the H row-blocks
+    er = jax.lax.broadcasted_iota(jnp.int32, (np_len, 1), 0)
+    ec = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
+    Esel = (er == ec % np_len).astype(jnp.bfloat16)
+
+    wl = wl_ref[...].astype(jnp.float32)
+    ww = ww_ref[...].astype(jnp.float32)
+    t1 = jax.lax.dot_general(Drow, wl, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    WLX = jax.lax.dot_general(t1, Dcol, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)
+    t2 = jax.lax.dot_general(Drow, ww, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    WWX = jax.lax.dot_general(t2, Dcol, (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32
+                              ).astype(jnp.bfloat16)
+
+    ccol = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
+    kv_bias = jnp.where((ccol % np_len) < n, 0.0, NEG_INF).astype(jnp.float32)
+    Dsm = Drow.astype(jnp.bfloat16)
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dwl_ref[...] = jnp.zeros_like(dwl_ref)
+        dww_ref[...] = jnp.zeros_like(dww_ref)
+
+    dwl_acc = jnp.zeros((h, h), jnp.float32)
+    dww_acc = jnp.zeros((h, h), jnp.float32)
+
+    for s in range(gb):
+        lo = s * np_len
+        q_blk = q_ref[lo:lo + np_len, :]
+        kx = pltpu.repeat(k_ref[lo:lo + np_len, :], h, 0)
+        vx = pltpu.repeat(v_ref[lo:lo + np_len, :], h, 0)
+        Kp = WLX * kx
+        Vp = WWX * vx
+        # ---- forward recompute
+        s2 = jax.lax.dot_general(
+            q_blk, Kp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale + kv_bias
+        m = jnp.max(s2, axis=-1, keepdims=True)
+        e = jnp.exp(s2 - m)
+        denom = jax.lax.dot_general(
+            e.astype(jnp.bfloat16), Dsm, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        denom_full = jax.lax.dot_general(
+            denom, Drow, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        p = e / jnp.maximum(denom_full, 1e-30)          # [Np, HN] f32
+        pb = p.astype(jnp.bfloat16)
+        do_blk = do_ref[lo:lo + np_len, :]
+        # ---- output side
+        dP = jax.lax.dot_general(
+            do_blk, Vp, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [Np, HN]
+        dVp = jax.lax.dot_general(
+            pb, do_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)         # [HN, HD]
+        dVw = (dVp * WWX.astype(jnp.float32)).astype(jnp.bfloat16)
+        dv_ref[lo:lo + np_len, :] = jax.lax.dot_general(
+            Esel, dVw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        # dVp rows are (g,j) blocks (unlike dKp whose rows are (h,j)), so
+        # contract columns first then rows to land [h, g] without transpose
+        dww_e = (dVp * vx.astype(jnp.float32)).astype(jnp.bfloat16)
+        tw = jax.lax.dot_general(
+            dww_e, Dcol.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [HN(g,j), h]
+        dww_acc += jax.lax.dot_general(
+            tw, Drow, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [h, g]
+        # ---- block-local softmax backward
+        pdp = (p * dP).astype(jnp.bfloat16)
+        tsum = jax.lax.dot_general(pdp, Dsm, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)  # [Np,h]
+        tfull = jax.lax.dot_general(tsum, Drow, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+        dS = (p * (dP - tfull)).astype(jnp.bfloat16)     # [Np, HN]
+        # ---- score side
+        dq_ref[lo:lo + np_len, :] = (jax.lax.dot_general(
+            dS, Kp, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+        dKp = jax.lax.dot_general(
+            dS, q_blk, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [HN, HD]
+        dKw = (dKp * WLX.astype(jnp.float32)).astype(jnp.bfloat16)
+        dk_ref[lo:lo + np_len, :] = jax.lax.dot_general(
+            Esel, dKw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dwl_e = (dKp * kx.astype(jnp.float32)).astype(jnp.bfloat16)
+        tl = jax.lax.dot_general(Dsm, dwl_e, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dwl_acc += jax.lax.dot_general(
+            tl, Dcol, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    dwl_ref[...] += dwl_acc
+    dww_ref[...] += dww_acc
+
+
+def _tf_bwd_call(q2, k2, v2, wl, ww, do2, scale, n, gb, np_len, h, d):
+    rows_total, HD = q2.shape
+    rows_blk = gb * np_len
+    blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w_blk = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_tf_bwd_kernel, scale=scale, gb=gb, h=h,
+                          np_len=np_len, n=n, d=d),
+        grid=(rows_total // rows_blk,),
+        in_specs=[blk, blk, blk, w_blk, w_blk, blk],
+        out_specs=[blk, blk, blk, w_blk, w_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
+            jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
+            jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(q2, k2, v2, wl, ww, do2)
+
+
 def _xla_transform_rows(q2, k2, v2, wl, ww, scale, n, heads):
     """Reference math on the rows layout (used for the backward recompute)."""
     B, N, HD = q2.shape
@@ -180,13 +322,39 @@ def _tf_rows_fwd(q2, k2, v2, wl, ww, scale, n, heads):
     return o, (q2, k2, v2, wl, ww)
 
 
+def _bwd_mode() -> str:
+    """'xla' (default) or 'kernel'.
+
+    Measured at image-student scale (B=128, H=24, Np=64, 6 layers): pallas
+    fwd + XLA recompute bwd = 9.75 ms beats both pure XLA (10.02) and the
+    fused pallas bwd (15.09 — six H-inflated matmuls vs the forward's two).
+    The fused backward stays available for shapes where it may win.
+    """
+    import os
+
+    return os.environ.get("DISTILLCLIP_TF_BWD", "xla")
+
+
 def _tf_rows_bwd(scale, n, heads, res, do):
     q2, k2, v2, wl, ww = res
-    _, vjp = jax.vjp(
-        lambda a, b, c, l, w: _xla_transform_rows(a, b, c, l, w, scale, n, heads),
-        q2, k2, v2, wl, ww,
-    )
-    return vjp(do)
+    if _bwd_mode() != "kernel":
+        _, vjp = jax.vjp(
+            lambda a, b, c, l, w: _xla_transform_rows(a, b, c, l, w, scale, n, heads),
+            q2, k2, v2, wl, ww,
+        )
+        return vjp(do)
+    B, N, HD = q2.shape
+    d = HD // heads
+    gb = 1
+    for cand in (4, 2, 1):
+        if B % cand == 0:
+            gb = cand
+            break
+    qf, kf, vf, dof = (t.reshape(B * N, HD) for t in (q2, k2, v2, do))
+    dq, dk, dv, dwl, dww = _tf_bwd_call(
+        qf, kf, vf, wl, ww, dof, float(scale), n, gb, N, heads, d)
+    return (dq.reshape(B, N, HD), dk.reshape(B, N, HD), dv.reshape(B, N, HD),
+            dwl.astype(wl.dtype), dww.astype(ww.dtype))
 
 
 _tf_rows.defvjp(_tf_rows_fwd, _tf_rows_bwd)
@@ -207,4 +375,12 @@ def transform_attention_rows(
     if N % 16 != 0:
         raise ValueError(f"transform_attention_rows requires N % 16 == 0, got {N}")
     n = kv_len if kv_len is not None else N
+    # Measured dispatch (v5e, 6 layers, B=128): the folded kernel wins at
+    # wide-head shapes (H=24: fwd 3.94 vs 4.8 ms) where XLA's [B,H,N,N]
+    # buffers hurt most, and loses at narrow-head shapes (H=8, d=64:
+    # fwd 2.43 vs 2.32, f+b 5.38 vs 3.60) where the H-inflated folded
+    # matmuls cost more than XLA's smaller score buffers.
+    # (interpret mode always runs the kernel so tests keep covering it)
+    if heads < 12 and not _interpret():
+        return _xla_transform_rows(q2, k2, v2, wl, ww, float(scale), int(n), heads)
     return _tf_rows(q2, k2, v2, wl, ww, float(scale), int(n), int(heads))

@@ -111,3 +111,34 @@ def test_rows_layout_gradients():
     g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q2, q2, q2)
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_transform_fused_backward_kernel(monkeypatch):
+    """The fused pallas backward (DISTILLCLIP_TF_BWD=kernel) must produce
+    the same five gradients as the default XLA-recompute backward."""
+    from distillclip_tpu.ops.transform_attention import transform_attention_rows
+
+    monkeypatch.setenv("DISTILLCLIP_TF_BWD", "kernel")
+    B2, H2, N2, D2 = 2, 4, 32, 16
+    key = jax.random.PRNGKey(11)
+    ks = jax.random.split(key, 6)
+    q2 = jax.random.normal(ks[0], (B2, N2, H2 * D2), jnp.float32)
+    k2 = jax.random.normal(ks[1], (B2, N2, H2 * D2), jnp.float32)
+    v2 = jax.random.normal(ks[2], (B2, N2, H2 * D2), jnp.float32)
+    wl = jnp.eye(H2) + 0.2 * jax.random.normal(ks[3], (H2, H2))
+    ww = jnp.eye(H2) + 0.2 * jax.random.normal(ks[4], (H2, H2))
+    co = jax.random.normal(ks[5], (B2, N2, H2 * D2), jnp.float32)
+
+    def loss(a, b, c, l, w):
+        o = transform_attention_rows(a, b, c, l, w, heads=H2, kv_len=20)
+        return (o.astype(jnp.float32) * co).sum()
+
+    g_kernel = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q2, k2, v2, wl, ww)
+    monkeypatch.setenv("DISTILLCLIP_TF_BWD", "xla")
+    g_xla = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(q2, k2, v2, wl, ww)
+    for name, a, b in zip(("dq", "dk", "dv", "dwl", "dww"), g_kernel, g_xla):
+        scale = float(np.max(np.abs(np.asarray(b)))) + 1e-9
+        np.testing.assert_allclose(
+            np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2,
+            err_msg=name,
+        )
