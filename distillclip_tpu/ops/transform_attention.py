@@ -27,13 +27,12 @@ TILES its operand (exactly what the repeat(k/v, H) stacking needs);
 broadcast adds are safe on plain 2D dot outputs (NOT on batched-dot
 outputs, which SIGABRT the compiler).
 
-Measured on v5e (B=128, H=24, Np=64, d=32): 6-layer forward 3.94 ms vs
-4.81 ms for the unfused XLA path — the first hardware win on this path.
-Earlier formulations and why they lost are recorded in BENCH_NOTES.md.
-
-Forward only: the backward runs the (bf16-buffered) XLA recompute path via
-custom_vjp.  The backward admits the same folded structure — planned
-follow-up.
+Measured on v5e (B=128, H=24, Np=64, d=32, 6 layers): forward 3.39 ms at
+gb=16 vs 4.81 ms for the unfused XLA path.  The backward defaults to XLA
+recompute (pallas-fwd + XLA-recompute-bwd beats pure XLA end-to-end:
+9.75 vs 10.02 ms at gb=4); the fused backward kernel below is available
+via DISTILLCLIP_TF_BWD=kernel.  Shape dispatch, the earlier formulations,
+and why they lost are recorded in BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -308,7 +307,9 @@ def _tf_rows(q2, k2, v2, wl, ww, scale, n, heads):
     B, N, HD = q2.shape
     d = HD // heads
     gb = 1
-    for cand in (4, 2, 1):
+    # gb sweep on v5e (6L fwd, B=128): 1->5.98, 2->4.74, 4->5.22, 8->3.56,
+    # 16->3.39 ms — bigger row blocks amortize the mask builds and bubbles
+    for cand in (16, 8, 4, 2, 1):
         if B % cand == 0:
             gb = cand
             break
@@ -346,7 +347,9 @@ def _tf_rows_bwd(scale, n, heads, res, do):
     B, N, HD = q2.shape
     d = HD // heads
     gb = 1
-    for cand in (4, 2, 1):
+    # gb sweep on v5e (6L fwd, B=128): 1->5.98, 2->4.74, 4->5.22, 8->3.56,
+    # 16->3.39 ms — bigger row blocks amortize the mask builds and bubbles
+    for cand in (16, 8, 4, 2, 1):
         if B % cand == 0:
             gb = cand
             break
