@@ -137,6 +137,20 @@ class DistillTask:
         # them trips XLA's donation checker (f(donate(a), a))
         copy = lambda x: jnp.array(x, copy=True)
         sp = dict(student_params)
+        stu_kernel = (
+            sp["patch_kernel"]
+            if isinstance(self.student, RepeatVisionTransformer)
+            else sp["visual"]["patch_kernel"]
+        )
+        if stu_kernel.shape != tp["patch_kernel"].shape:
+            raise ValueError(
+                "freeze_image_embedding copies the teacher's patch/cls/pos "
+                "embeddings into the student, which requires matching patch "
+                f"geometry: teacher patch_kernel {tuple(tp['patch_kernel'].shape)} "
+                f"vs student {tuple(stu_kernel.shape)}. Match the student's "
+                "img_size/patch_size/embed_dim to the teacher or disable "
+                "freeze_embed."
+            )
         if isinstance(self.student, RepeatVisionTransformer):
             sp["patch_kernel"] = copy(tp["patch_kernel"])
             sp["cls_token"] = copy(tp["class_embedding"][None, None, :])

@@ -124,6 +124,27 @@ class Trainer:
             state = restored["state"]
             start_epoch = int(restored["epoch"]) + 1
 
+        # parameter summary (reference ModelSummary(max_depth=2) callback,
+        # image.yaml:89-92): total vs trainable counts per top-level module
+        def _count(tree) -> int:
+            return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
+
+        param_summary = {
+            f"params/{name}": _count(sub)
+            for name, sub in sorted(state.params.items())
+        }
+        param_summary["params/total"] = _count(state.params)
+        trainable_mask = getattr(task, "_mask", None)
+        if trainable_mask is not None:
+            param_summary["params/trainable"] = sum(
+                int(x.size)
+                for x, m in zip(
+                    jax.tree_util.tree_leaves(state.params),
+                    jax.tree_util.tree_leaves(trainable_mask),
+                )
+                if m
+            )
+
         logger.log_hyperparams(
             {
                 "task": type(task).__name__,
@@ -133,6 +154,7 @@ class Trainer:
                 "max_epochs": self.max_epochs,
                 "steps_per_epoch": steps_per_epoch,
                 "devices": jax.device_count(),
+                **param_summary,
             }
         )
 
