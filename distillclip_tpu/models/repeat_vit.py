@@ -423,6 +423,12 @@ class RepeatVisionTransformer(nn.Module):
         P = self.patch_size
         n_patches = (self.img_size // P) ** 2
         seq_len = n_patches + 1
+        if images.shape[1] != self.img_size or images.shape[2] != self.img_size:
+            raise ValueError(
+                f"RepeatVisionTransformer(img_size={self.img_size}) got images "
+                f"of shape {tuple(images.shape)} (expected NHWC with "
+                f"H=W={self.img_size})"
+            )
 
         # timm PatchEmbed: conv(patch, stride=patch) WITH bias -> matmul form
         patch_kernel = self.param(

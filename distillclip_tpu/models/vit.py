@@ -61,6 +61,12 @@ class VisionTransformer(nn.Module):
         P = self.patch_size
         scale = self.width ** -0.5
         n_patches = (self.input_resolution // P) ** 2
+        if images.shape[1] != self.input_resolution or images.shape[2] != self.input_resolution:
+            raise ValueError(
+                f"VisionTransformer(input_resolution={self.input_resolution}) "
+                f"got images of shape {tuple(images.shape)} (expected NHWC "
+                f"with H=W={self.input_resolution})"
+            )
 
         # conv1 as a patch matmul (no bias, matching CLIP's Conv2d bias=False)
         patch_kernel = self.param(
