@@ -95,9 +95,12 @@ class SimpleTokenizer:
         opener = gzip.open if bpe_path.endswith(".gz") else open
         with opener(bpe_path, "rt", encoding="utf-8") as f:
             merges = f.read().split("\n")
+        # Drop the "#version" comment line, then keep exactly ``merge_limit``
+        # merges.  CLIP does ``merges[1:49152-256-2+1]`` over the RAW line
+        # list (comment included) = 48,894 merges -> vocab 49,408, EOT 49,407.
         merges = merges[1:]
         if merge_limit is not None:
-            merges = merges[: merge_limit - 256 - 2 + 1] if merge_limit == 48894 else merges[:merge_limit]
+            merges = merges[:merge_limit]
         merges = [tuple(m.split()) for m in merges if m and len(m.split()) == 2]
 
         vocab = list(bytes_to_unicode().values())

@@ -89,6 +89,62 @@ def test_hash_tokenizer_fallback(tmp_path):
     np.testing.assert_array_equal(arr, arr2)
 
 
+@pytest.fixture(scope="module")
+def full_bpe_path(tmp_path_factory):
+    """Synthetic full-size merges file: >=48,894 valid merges over base chars.
+
+    Guards the vocab contract of clip.tokenize (reference
+    data/component/ms_coco.py:10): 256 bytes + 256 '</w>' variants + 48,894
+    merges + 2 specials = 49,408 ids, EOT = 49,407.
+    """
+    from itertools import product
+
+    base = list(bytes_to_unicode().values())
+    lines = ["#version: synthetic-full"]
+    for a, b in product(base, base):
+        lines.append(f"{a} {b}")
+        if len(lines) > 48900:  # comment + a few past the 48,894 limit
+            break
+    p = tmp_path_factory.mktemp("bpe_full") / "full.txt.gz"
+    with gzip.open(p, "wt", encoding="utf-8") as f:
+        f.write("\n".join(lines) + "\n")
+    return str(p)
+
+
+def test_full_vocab_contract(full_bpe_path):
+    """Regression for the merge-limit off-by-257 (round-1 VERDICT weak #1)."""
+    tok = SimpleTokenizer(full_bpe_path, use_native=False)  # default merge_limit
+    assert tok.vocab_size == 49408
+    assert tok.sot_token == 49406
+    assert tok.eot_token == 49407
+    # merge ids are 512 + rank; the last kept merge must land at 49,405
+    assert len(tok.bpe_ranks) == 48894
+    last_kept = max(tok.bpe_ranks, key=tok.bpe_ranks.get)
+    assert tok.encoder["".join(last_kept)] == 49405
+    # merges past the limit must NOT be in the vocab
+    with gzip.open(full_bpe_path, "rt", encoding="utf-8") as f:
+        raw = f.read().split("\n")[1:]
+    first_dropped = tuple(raw[48894].split())
+    assert first_dropped not in tok.bpe_ranks
+    assert "".join(first_dropped) not in tok.encoder
+
+
+def test_full_vocab_native_boundary_ids(full_bpe_path):
+    """Native/python id equality at the merge-limit boundary ids."""
+    tok = SimpleTokenizer(full_bpe_path, use_native=True)
+    if tok._native is None:
+        pytest.skip("native build unavailable")
+    assert tok._native._lib.dc_bpe_vocab_size(tok._native._handle) == 49408
+    first_merge = min(tok.bpe_ranks, key=tok.bpe_ranks.get)
+    last_kept = max(tok.bpe_ranks, key=tok.bpe_ranks.get)
+    for a, b in (first_merge, last_kept):
+        # word "ab" + trailing char: pair (a,b) merges mid-word
+        word = a + b + "x"
+        py_ids = [tok.encoder[t] for t in tok.bpe(word).split(" ")]
+        assert tok._native.encode_word(word) == py_ids
+    assert tok.encoder["".join(last_kept)] == 49405
+
+
 def test_native_bpe_matches_python(bpe_path):
     """C++ merge loop (native/bpe.cc) must produce identical ids."""
     import os
