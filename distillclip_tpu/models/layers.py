@@ -70,12 +70,18 @@ class ClipMlp(nn.Module):
 
     width: int
     expansion: int = 4
+    # CLIP init scheme stds (reference image_encoder.py:36-48 /
+    # text_encoder.py:94-106); None -> lecun_normal default
+    fc_std: Optional[float] = None
+    proj_std: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = Dense(self.width * self.expansion, name="c_fc")(x)
+        fc_init = nn.initializers.normal(self.fc_std) if self.fc_std else None
+        pj_init = nn.initializers.normal(self.proj_std) if self.proj_std else None
+        h = Dense(self.width * self.expansion, kernel_init=fc_init, name="c_fc")(x)
         h = quick_gelu(h)
-        return Dense(self.width, name="c_proj")(h)
+        return Dense(self.width, kernel_init=pj_init, name="c_proj")(h)
 
 
 class InstrumentedAttention(nn.Module):
@@ -101,6 +107,11 @@ class InstrumentedAttention(nn.Module):
     heads: int
     drop_prob: float = 0.0
     use_flash: bool = True
+    # CLIP init scheme stds (reference image_encoder.py:36-48: in_proj
+    # weight AND bias ~ N(0, attn_std), out_proj weight ~ N(0, proj_std));
+    # None -> lecun_normal default
+    attn_std: Optional[float] = None
+    proj_std: Optional[float] = None
 
     @nn.compact
     def __call__(
@@ -118,7 +129,9 @@ class InstrumentedAttention(nn.Module):
             raise ValueError(f"width {self.width} not divisible by heads {self.heads}")
 
         # Fused in-projection: one [D, 3D] matmul keeps the MXU busy.
-        qkv = Dense(3 * self.width, name="in_proj")(x)
+        in_init = nn.initializers.normal(self.attn_std) if self.attn_std else None
+        qkv = Dense(3 * self.width, kernel_init=in_init, bias_init=in_init,
+                    name="in_proj")(x)
 
         from distillclip_tpu.ops.flash_attention import flash_enabled
 
@@ -145,7 +158,7 @@ class InstrumentedAttention(nn.Module):
                 causal=causal,
                 kv_len=kv_len,
             )
-            out = Dense(self.width, name="out_proj")(ctx.astype(x.dtype))
+            out = Dense(self.width, kernel_init=nn.initializers.normal(self.proj_std) if self.proj_std else None, name="out_proj")(ctx.astype(x.dtype))
             return AttentionOutput(hidden=out)
 
         qkv = qkv.reshape(B, N, 3, self.heads, head_dim)
@@ -158,7 +171,7 @@ class InstrumentedAttention(nn.Module):
 
             ctx4 = flash_attention(q, k, v, causal=causal, kv_len=kv_len)
             ctx = ctx4.transpose(0, 2, 1, 3).reshape(B, N, self.width).astype(x.dtype)
-            out = Dense(self.width, name="out_proj")(ctx)
+            out = Dense(self.width, kernel_init=nn.initializers.normal(self.proj_std) if self.proj_std else None, name="out_proj")(ctx)
             return AttentionOutput(hidden=out)
 
         scale = 1.0 / jnp.sqrt(head_dim).astype(jnp.float32)
@@ -201,7 +214,7 @@ class InstrumentedAttention(nn.Module):
             "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.width).astype(x.dtype)
-        out = Dense(self.width, name="out_proj")(ctx)
+        out = Dense(self.width, kernel_init=nn.initializers.normal(self.proj_std) if self.proj_std else None, name="out_proj")(ctx)
 
         return AttentionOutput(
             hidden=out,

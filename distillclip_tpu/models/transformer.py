@@ -31,6 +31,10 @@ class ResidualAttentionBlock(nn.Module):
     heads: int
     drop_prob: float = 0.0
     use_flash: bool = True
+    # CLIP init-scheme stds (image_encoder.py:36-48); None -> lecun default
+    attn_std: Optional[float] = None
+    proj_std: Optional[float] = None
+    fc_std: Optional[float] = None
 
     @nn.compact
     def __call__(
@@ -44,11 +48,13 @@ class ResidualAttentionBlock(nn.Module):
     ) -> AttentionOutput:
         attn_out = InstrumentedAttention(
             width=self.width, heads=self.heads, drop_prob=self.drop_prob,
-            use_flash=self.use_flash, name="attn",
+            use_flash=self.use_flash, attn_std=self.attn_std,
+            proj_std=self.proj_std, name="attn",
         )(LayerNorm(name="ln_1")(x), flags, mask=mask, causal=causal,
           kv_len=kv_len, deterministic=deterministic)
         x = x + attn_out.hidden
-        x = x + ClipMlp(width=self.width, name="mlp")(LayerNorm(name="ln_2")(x))
+        x = x + ClipMlp(width=self.width, fc_std=self.fc_std,
+                        proj_std=self.proj_std, name="mlp")(LayerNorm(name="ln_2")(x))
         return AttentionOutput(
             hidden=x,
             attention_scores=attn_out.attention_scores,
@@ -77,6 +83,11 @@ class Transformer(nn.Module):
     need_layers: Optional[Sequence[int]] = None
     drop_prob: float = 0.0
     use_flash: bool = True
+    # CLIP initialization scheme (reference image_encoder.py:36-48 /
+    # text_encoder.py:94-106): in_proj ~ N(0, w^-0.5), out/c_proj ~
+    # N(0, w^-0.5 (2L)^-0.5), c_fc ~ N(0, (2w)^-0.5).  Default ON — both
+    # reference encoders always call initialize_parameters().
+    clip_init: bool = True
 
     def selected_layers(self) -> Sequence[int]:
         return tuple(range(self.layers)) if self.need_layers is None else tuple(self.need_layers)
@@ -94,12 +105,18 @@ class Transformer(nn.Module):
         selected = set(self.selected_layers())
         scores, probs, reps = [], [], []
         value_map = None
+        attn_std = self.width ** -0.5 if self.clip_init else None
+        proj_std = (self.width ** -0.5) * ((2 * self.layers) ** -0.5) if self.clip_init else None
+        fc_std = (2 * self.width) ** -0.5 if self.clip_init else None
         for i in range(self.layers):
             block_out = ResidualAttentionBlock(
                 width=self.width,
                 heads=self.heads,
                 drop_prob=self.drop_prob,
                 use_flash=self.use_flash,
+                attn_std=attn_std,
+                proj_std=proj_std,
+                fc_std=fc_std,
                 name=f"resblocks_{i}",
             )(x, flags, mask=mask, causal=causal, kv_len=kv_len,
               deterministic=deterministic)

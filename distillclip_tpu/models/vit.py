@@ -77,12 +77,15 @@ class VisionTransformer(nn.Module):
         )
         x = patchify(images, P) @ patch_kernel.astype(images.dtype)
 
+        # stds follow the reference's initialize_parameters override
+        # (image_encoder.py:36-38: class 0.02, positional 0.01), not the
+        # constructor-time width^-0.5 it immediately overwrites
         class_embedding = self.param(
-            "class_embedding", nn.initializers.normal(stddev=scale), (self.width,), jnp.float32
+            "class_embedding", nn.initializers.normal(stddev=0.02), (self.width,), jnp.float32
         )
         positional_embedding = self.param(
             "positional_embedding",
-            nn.initializers.normal(stddev=scale),
+            nn.initializers.normal(stddev=0.01),
             (n_patches + 1, self.width),
             jnp.float32,
         )

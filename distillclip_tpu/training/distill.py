@@ -64,6 +64,11 @@ class DistillTask:
     lr: float = 1e-3
     norm: bool = False
     unfreeze_epoch: Optional[int] = None
+    # warm-start plain CLIP-architecture students from the teacher's blocks
+    # (reference init_layers_with_teacher, image_encoder.py:70-97):
+    # 'begin' | 'end' | 'mid'; step used by 'mid' (default tea_n // stu_n)
+    teacher_init_type: Optional[str] = None
+    teacher_init_step: Optional[int] = None
     compute_dtype: str = "bfloat16"
     grad_clip_norm: Optional[float] = None
     log_grad_norm: bool = False  # extra full-grad read per step; off like the reference
@@ -107,9 +112,33 @@ class DistillTask:
             tea_out = self.teacher.apply(self.teacher_vars, sample_inputs, self.flags)
             kd_vars = self.loss_control.init_vit_kd(kd_rng, stu_out, tea_out)
             params["loss_aux"] = kd_vars["params"]
+        if self.teacher_init_type is not None:
+            params["student"] = self._warm_start_from_teacher(params["student"])
         if self.model_type == "image" and self.freeze_embed:
             params["student"] = self._copy_teacher_embeddings(params["student"])
         return params
+
+    def _warm_start_from_teacher(self, student_params):
+        """Teacher-block warm start (image_encoder.py:70-97 / text_encoder.py:124-152)."""
+        from distillclip_tpu.models.teacher_init import init_layers_with_teacher
+
+        scope = "visual" if self.model_type == "image" else "text"
+        if scope not in student_params:
+            raise ValueError(
+                "teacher_init_type requires a plain CLIP-architecture student "
+                f"(ImageEncoder/TextEncoder with a '{scope}' tower); got param "
+                f"scopes {sorted(student_params)}"
+            )
+        sp = dict(student_params)
+        sp[scope] = init_layers_with_teacher(
+            sp[scope],
+            self.teacher_vars["params"][scope],
+            self.teacher_init_type,
+            self.teacher_init_step,
+        )
+        # fresh buffers: leaves borrowed from teacher_vars must not alias the
+        # donated train state (same reason as _copy_teacher_embeddings)
+        return jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), sp)
 
     def _frozen_paths(self) -> List[str]:
         """Paths frozen by freeze_image_embedding (distil_model.py:203-221).
@@ -170,6 +199,7 @@ class DistillTask:
             hf_cosine_with_warmup(self.lr, self.warm_steps, self.total_steps),
             steps_per_epoch,
         )
+        self._lr_schedule = schedule  # the schedule the optimizer applies
         return make_optimizer(
             schedule,
             weight_decay=self.weight_decay,
