@@ -63,7 +63,12 @@ class TextImageDataModule:
         val_fraction: float = 0.1,
         shuffle_buffer: int = 5000,
         seed: int = 2022,
+        dataset_size: Optional[int] = None,
     ):
+        # the reference hardcodes its webdataset sizes and paces DDP with
+        # dataset_size // batch (text_image_datamodule.py:51-56,80); here
+        # the size is a config knob that fixes the LR-schedule length
+        self.dataset_size = dataset_size
         self.batch_size = batch_size
         self.image_size = image_size
         self.context_length = context_length
@@ -85,6 +90,12 @@ class TextImageDataModule:
 
     def setup(self, stage=None):
         pass
+
+    def steps_per_epoch(self) -> Optional[int]:
+        """Schedule length for the trainer (drop-remainder batching)."""
+        if self.dataset_size is None:
+            return None
+        return max(1, self.dataset_size // self.batch_size)
 
     def _iter_batches(self, urls: List[str], is_train: bool, epoch: int = 0):
         transform = (

@@ -174,6 +174,7 @@ class DualDistillTask:
             hf_cosine_with_warmup(self.lr, self.warm_steps, self.total_steps),
             steps_per_epoch,
         )
+        self._lr_schedule = schedule  # the schedule the optimizer applies
         return make_optimizer(
             schedule, weight_decay=self.weight_decay,
             grad_clip_norm=self.grad_clip_norm,

@@ -102,9 +102,20 @@ class Trainer:
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
-        steps_per_epoch = len(train_loader) if hasattr(train_loader, "__len__") else 100
+        # schedule length: loader length, else the datamodule's declared size
+        # (reference hardcodes webdataset sizes, text_image_datamodule.py:51-56);
+        # unknown -> provisional 100, recalibrated after epoch 0 is counted
+        steps_per_epoch = None
+        if hasattr(train_loader, "__len__"):
+            steps_per_epoch = len(train_loader)
+        elif hasattr(datamodule, "steps_per_epoch"):
+            steps_per_epoch = datamodule.steps_per_epoch()
+        schedule_provisional = steps_per_epoch is None
+        if schedule_provisional:
+            steps_per_epoch = 100
         if self.limit_train_batches:
             steps_per_epoch = min(steps_per_epoch, self.limit_train_batches)
+            schedule_provisional = False
 
         dual = hasattr(task, "image_student")
         rng = jax.random.PRNGKey(self.seed)
@@ -163,7 +174,14 @@ class Trainer:
         )
         eval_step = task.make_eval_step(mesh)
         unfrozen = False
-        lr_schedule = hf_cosine_with_warmup(task.lr, task.warm_steps, task.total_steps)
+
+        def current_lr(step: int, epoch: int) -> float:
+            # read the schedule the optimizer actually applies (set by
+            # task.make_optimizer); fall back to recomputing from the epoch
+            sched = getattr(task, "_lr_schedule", None)
+            if sched is not None:
+                return float(sched(step))
+            return float(hf_cosine_with_warmup(task.lr, task.warm_steps, task.total_steps)(epoch))
 
         best = {}
         es_best = float("inf")
@@ -234,9 +252,26 @@ class Trainer:
                 if i % self.log_every_n_steps == 0:
                     logged = {f"train_loss/{k}": float(v) for k, v in metrics.items()}
                     logged["epoch"] = epoch
-                    logged["lr"] = float(lr_schedule(epoch))
+                    logged["lr"] = current_lr(int(state.step), epoch)
                     logger.log_metrics(logged, int(state.step))
             epoch_time = time.time() - t_epoch
+            # stream loaders (no __len__, no declared size): the provisional
+            # schedule length is replaced with the measured epoch-0 count;
+            # AdamW's state is schedule-independent so the rebuilt optimizer
+            # resumes exactly, with the cosine now paced correctly
+            if schedule_provisional and epoch == start_epoch and i > 0:
+                measured = i
+                if measured != steps_per_epoch:
+                    steps_per_epoch = measured
+                    tx = task.make_optimizer(steps_per_epoch)
+                    train_step = task.make_train_step(
+                        mesh, tx, deterministic=self.deterministic_forward,
+                        trainable_mask=False if unfrozen else None,
+                    )
+                    logger.log_metrics(
+                        {"perf/steps_per_epoch_recalibrated": measured}, int(state.step)
+                    )
+                schedule_provisional = False
             logger.log_metrics(
                 {
                     "perf/epoch_time_s": epoch_time,
@@ -295,10 +330,7 @@ class Trainer:
 
             # --- early stopping (image.yaml:85-88) ---
             if self.early_stopping_patience and self.early_stopping_monitor:
-                monitored = val_logged.get(
-                    self.early_stopping_monitor.replace("val_loss/loss", "val_loss/loss"),
-                    None,
-                )
+                monitored = val_logged.get(self.early_stopping_monitor)
                 if monitored is None:
                     monitored = val_logged.get("val_loss/loss")
                 if monitored is not None:
@@ -336,7 +368,8 @@ class Trainer:
                 val_metrics_acc.setdefault(k, []).append(float(v))
             reps_list.append(jax.device_get(reps))
         out = {k: float(np.mean(v)) for k, v in val_metrics_acc.items()}
-        epoch_metrics, tea_metrics, _ = _epoch_end_retrieval(reps_list, dual)
-        out.update(epoch_metrics)
-        out.update(tea_metrics)
+        if reps_list:  # empty val loader -> per-step metrics only
+            epoch_metrics, tea_metrics, _ = _epoch_end_retrieval(reps_list, dual)
+            out.update(epoch_metrics)
+            out.update(tea_metrics)
         return out
