@@ -82,8 +82,23 @@ def download(url: str, root: str) -> str:
 
 
 def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a torchscript archive or plain torch checkpoint into numpy."""
-    import torch  # IO only
+    """Read a torchscript archive or plain torch checkpoint into fp32 numpy.
+
+    Torch-free on the load path (SURVEY.md §7 step 2): zip-format files —
+    both torchscript archives like the official CLIP checkpoints and plain
+    ``torch.save`` zips — are parsed by ``torch_reader`` (pickle + raw
+    storages, no torch import).  torch remains only a last-resort fallback
+    for legacy non-zip files.
+    """
+    from distillclip_tpu.models.torch_reader import UnsupportedTorchFile, read_torch_file
+
+    try:
+        sd = read_torch_file(path)
+        return {k: np.asarray(v, dtype=np.float32) for k, v in sd.items()}
+    except UnsupportedTorchFile:
+        pass
+
+    import torch  # legacy formats only
 
     with open(path, "rb") as f:
         try:
