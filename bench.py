@@ -53,7 +53,16 @@ def main():
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
     parser.add_argument("--stage", choices=["l_clip", "image", "text"], default="l_clip")
+    parser.add_argument(
+        "--cached-teacher", action="store_true",
+        help="precompute frozen-teacher text reps and drop that tower from "
+             "the step (valid: text stage, and the text tower of l_clip; "
+             "inputs are fixed token tensors so reps are constants)",
+    )
     args = parser.parse_args()
+    if args.cached_teacher and args.stage == "image":
+        parser.error("--cached-teacher: image inputs are augmented; only "
+                     "text / l_clip support cached teacher reps")
 
     if args.quick:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -123,10 +132,18 @@ def main():
             lr=1e-4, warm_steps=15, total_steps=300,
         )
         state, tx = task.init_state(rng, jnp.asarray(tokens[:1]), jnp.asarray(images[:1]), steps_per_epoch=100)
-        step_fn = task.make_train_step(mesh, tx)
         b_images = shard_batch(mesh, jnp.asarray(images))
         b_tokens = shard_batch(mesh, jnp.asarray(tokens))
-        step = lambda st: step_fn(st, task.teacher_vars, b_tokens, b_images, rng)
+        tea_cv = task.teacher_compute_vars
+        if args.cached_teacher:
+            b_reps = shard_batch(
+                mesh, task.make_teacher_text_encode(mesh)(b_tokens)
+            )
+            step_fn = task.make_train_step(mesh, tx, cached_text_teacher=True)
+            step = lambda st: step_fn(st, tea_cv, b_tokens, b_images, b_reps, rng)
+        else:
+            step_fn = task.make_train_step(mesh, tx)
+            step = lambda st: step_fn(st, tea_cv, b_tokens, b_images, rng)
     else:
         single = DistillTask(
             student=image_student if args.stage == "image" else text_student,
@@ -138,9 +155,15 @@ def main():
         task = single
         inputs = images if args.stage == "image" else tokens
         state, tx = task.init_state(rng, jnp.asarray(inputs[:1]), steps_per_epoch=100)
-        step_fn = task.make_train_step(mesh, tx)
         b_inputs = shard_batch(mesh, jnp.asarray(inputs))
-        step = lambda st: step_fn(st, task.teacher_vars, b_inputs, rng)
+        tea_cv = task.teacher_compute_vars
+        if args.cached_teacher:
+            b_reps = shard_batch(mesh, task.make_teacher_encode(mesh)(b_inputs))
+            step_fn = task.make_train_step(mesh, tx, cached_teacher=True)
+            step = lambda st: step_fn(st, b_reps, b_inputs, rng)
+        else:
+            step_fn = task.make_train_step(mesh, tx)
+            step = lambda st: step_fn(st, tea_cv, b_inputs, rng)
 
     def fence(m):
         # host readback is the only reliable completion fence on remote
@@ -165,12 +188,16 @@ def main():
     step_flops = None
     step_bytes = None
     try:
-        lowered = getattr(step_fn, "lower", None)
         # re-lower the jitted step with the same args used above
         if args.stage == "l_clip":
-            c = step_fn.lower(state, task.teacher_vars, b_tokens, b_images, rng).compile()
+            if args.cached_teacher:
+                c = step_fn.lower(state, tea_cv, b_tokens, b_images, b_reps, rng).compile()
+            else:
+                c = step_fn.lower(state, tea_cv, b_tokens, b_images, rng).compile()
+        elif args.cached_teacher:
+            c = step_fn.lower(state, b_reps, b_inputs, rng).compile()
         else:
-            c = step_fn.lower(state, task.teacher_vars, b_inputs, rng).compile()
+            c = step_fn.lower(state, tea_cv, b_inputs, rng).compile()
         ca = c.cost_analysis()
         ca = ca[0] if isinstance(ca, list) else ca
         step_flops = float(ca.get("flops", 0.0))
@@ -193,6 +220,7 @@ def main():
         "vs_baseline": round(pairs_per_sec_per_chip / NORTH_STAR_PAIRS_PER_SEC, 4),
         "detail": {
             "stage": args.stage,
+            "cached_teacher": args.cached_teacher,
             "global_batch": global_batch,
             "chips": n_chips,
             "step_time_ms": round(dt / args.steps * 1000, 2),

@@ -35,6 +35,10 @@ def _val_cache(cache_dir, teacher_name):
     return Path(cache_dir) / f'text-cache-val-{teacher_name.replace("/", "-")}.npz'
 
 
+def _train_rep_cache(cache_dir, teacher_name):
+    return Path(cache_dir) / f'text-cache-train-reps-{teacher_name.replace("/", "-")}.npz'
+
+
 def prepare(prepare_args: dict) -> None:
     cache_dir = Path(prepare_args["cache_dir"])
     raw_data_dir = Path(prepare_args["raw_data_dir"])
@@ -64,6 +68,21 @@ def prepare(prepare_args: dict) -> None:
         tokens = tokenizer.tokenize(raw_text, context_length=context_length)
         np.savez(train_cache, tokens=tokens)
 
+    # optional: pre-encode the TRAIN corpus with the frozen teacher so the
+    # train step can drop the teacher tower (cached_teacher fast path);
+    # only valid for no-tap loss configs — see DistillTask.make_train_step
+    if prepare_args.get("cache_train_reps"):
+        rep_cache = _train_rep_cache(cache_dir, teacher_name)
+        if overwrite or not rep_cache.exists():
+            from distillclip_tpu.data.component.utils import encode_tokens
+
+            log.info("pre-encoding train tokens with the teacher text tower...")
+            tokens = np.load(train_cache)["tokens"]
+            reps = encode_tokens(
+                tokens, teacher_name, download_root=prepare_args.get("download_root")
+            )
+            np.savez(rep_cache, train_rep=reps)
+
     val_cache = _val_cache(cache_dir, teacher_name)
     if overwrite or not val_cache.exists():
         log.info("building val cache (teacher image embeddings)...")
@@ -88,11 +107,26 @@ def prepare(prepare_args: dict) -> None:
 
 class CombineTextDataset(MapDataset):
     def __init__(self, cache_dir: str = "./.cache", train: bool = True,
-                 teacher_name: str = "ViT-B/32"):
+                 teacher_name: str = "ViT-B/32", cached_teacher_reps: bool = False):
         self.train = train
+        self.train_rep = None
         if train:
             data = np.load(_train_cache(cache_dir, teacher_name))
             self.tokens = data["tokens"]
+            if cached_teacher_reps:
+                rep_cache = _train_rep_cache(cache_dir, teacher_name)
+                if not rep_cache.exists():
+                    raise FileNotFoundError(
+                        f"{rep_cache} not found: run prepare with "
+                        "cache_train_reps=true to pre-encode the train corpus"
+                    )
+                self.train_rep = np.load(rep_cache)["train_rep"]
+                if len(self.train_rep) != len(self.tokens):
+                    raise ValueError(
+                        f"teacher-rep cache rows ({len(self.train_rep)}) != "
+                        f"train tokens ({len(self.tokens)}); re-run prepare "
+                        "with overwrite=true"
+                    )
         else:
             data = np.load(_val_cache(cache_dir, teacher_name), allow_pickle=False)
             self.tokens = data["tokens"]
@@ -103,5 +137,7 @@ class CombineTextDataset(MapDataset):
 
     def __getitem__(self, idx):
         if self.train:
+            if self.train_rep is not None:
+                return {"inputs": self.tokens[idx], "tea_rep": self.train_rep[idx]}
             return {"inputs": self.tokens[idx]}
         return {"inputs": self.tokens[idx], "contrary": self.image_rep[idx]}

@@ -48,6 +48,39 @@ def encode_images(path_list: Sequence, teacher_name: str, download_root: Optiona
     return np.concatenate(out, axis=0).astype(np.float32)
 
 
+def encode_tokens(tokens: np.ndarray, teacher_name: str,
+                  download_root: Optional[str] = None,
+                  batch_size: int = 512) -> np.ndarray:
+    """Teacher text embeddings for an already-tokenized [N, L] array -> [N, D] f32.
+
+    Used to pre-encode the stage-2 TRAIN corpus so the frozen teacher tower
+    can be dropped from the train step (reference only pre-encodes val,
+    combine_text_dataset.py:59-82; caching train reps is the same idea
+    applied to the fixed train token tensor).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from distillclip_tpu.models import ControlFlags
+    from distillclip_tpu.models.teacher import load_text_teacher
+
+    module, variables = load_text_teacher(teacher_name, download_root)
+
+    @jax.jit
+    def encode(chunk):
+        return module.apply(variables, chunk, ControlFlags()).last_representation
+
+    out = []
+    for i in range(0, len(tokens), batch_size):
+        chunk = tokens[i : i + batch_size]
+        pad = batch_size - len(chunk)
+        if pad:
+            chunk = np.concatenate([chunk, np.zeros((pad, chunk.shape[1]), chunk.dtype)])
+        reps = np.asarray(encode(jnp.asarray(chunk)))
+        out.append(reps[: batch_size - pad])
+    return np.concatenate(out, axis=0).astype(np.float32)
+
+
 def encode_texts(caption_list: Sequence[str], teacher_name: str,
                  download_root: Optional[str] = None, bpe_path: Optional[str] = None,
                  batch_size: int = 256) -> np.ndarray:

@@ -87,6 +87,7 @@ class DistillTask:
         self.loss_control = LossCalculator(**self.loss_control_para)
         self.flags: ControlFlags = self.loss_control.control_flags()
         self._dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        self._teacher_compute_vars = None
 
         # student/teacher selected-layer alignment check (distil_model.py:52-57)
         if isinstance(self.student, ImageEncoder):
@@ -225,15 +226,28 @@ class DistillTask:
     # forward + loss
     # ------------------------------------------------------------------
 
-    def _forward(self, params, teacher_vars, inputs, rng, deterministic: bool):
-        """Student + stop-grad teacher forward (distil_model.py:81-89)."""
+    @property
+    def teacher_compute_vars(self):
+        """Teacher variables pre-cast to the compute dtype, ONCE.
+
+        The frozen teacher never changes, so casting fp32->bf16 inside the
+        step (``_forward``) re-reads + re-writes every teacher weight each
+        step (~0.9 GB/step for ViT-B/32).  Callers on the hot path should
+        pass this instead of ``teacher_vars`` — the in-step cast then
+        becomes a no-op.  ``teacher_vars`` itself stays fp32 (it seeds fp32
+        master weights via freeze_embed/teacher warm start).
+        """
+        if self._teacher_compute_vars is None:
+            self._teacher_compute_vars = jax.tree_util.tree_map(
+                lambda x: x.astype(self._dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.teacher_vars,
+            )
+        return self._teacher_compute_vars
+
+    def _student_forward(self, params, inputs, rng, deterministic: bool):
         compute_params = cast_to_compute(params["student"], self._dtype)
-        teacher_vars = jax.tree_util.tree_map(
-            lambda x: x.astype(self._dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32
-            else x,
-            teacher_vars,
-        )  # frozen teacher runs in the compute dtype (bf16 MXU rate)
         rngs = None
         if not deterministic:
             d_rng, p_rng = jax.random.split(rng)
@@ -242,6 +256,17 @@ class DistillTask:
         stu_out = self.student.apply(
             {"params": compute_params}, x, self.flags, deterministic=deterministic, rngs=rngs
         )
+        return stu_out, x
+
+    def _forward(self, params, teacher_vars, inputs, rng, deterministic: bool):
+        """Student + stop-grad teacher forward (distil_model.py:81-89)."""
+        teacher_vars = jax.tree_util.tree_map(
+            lambda x: x.astype(self._dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            teacher_vars,
+        )  # no-op when the caller passes teacher_compute_vars (pre-cast bf16)
+        stu_out, x = self._student_forward(params, inputs, rng, deterministic)
         tea_out = self.teacher.apply(teacher_vars, x, self.flags, deterministic=True)
         tea_out = jax.lax.stop_gradient(tea_out)
         if self.norm:
@@ -264,12 +289,78 @@ class DistillTask:
         )
         return loss, (parts, stu_out, tea_out)
 
+    # -- cached frozen-teacher path (VERDICT r1 item 4) -----------------
+
+    def _require_cacheable(self):
+        """Taps force a live teacher: per-layer losses read teacher
+        embeddings / attention / hidden states that depend on the input,
+        so only all-false ControlFlags configs may use cached reps
+        (the reference pre-encodes exactly these, e.g. val caches in
+        data/component/combine_text_dataset.py:59-82)."""
+        if self.flags.any_tap():
+            raise ValueError(
+                "cached_teacher requires a loss config without teacher taps "
+                f"(per-layer losses); got flags {self.flags}. Run the live "
+                "teacher for tap-dependent losses."
+            )
+
+    def _cached_teacher_output(self, tea_rep):
+        """Build the teacher tower output from a precomputed representation.
+
+        ``last_layer_output`` is never read by any one-tower loss when no
+        taps are requested (losses/calculator.py one_tower); a dummy slice
+        keeps the pytree total and is dead-code-eliminated by XLA.
+        """
+        from distillclip_tpu.models.outputs import TextOutput, VisionOutput
+
+        rep = tea_rep.astype(self._dtype)
+        cls = VisionOutput if self.model_type == "image" else TextOutput
+        return cls(last_representation=rep, last_layer_output=rep[:, None, :])
+
+    def loss_fn_cached(self, params, tea_rep, inputs, rng, deterministic: bool):
+        fwd_rng, kd_rng = jax.random.split(rng)
+        stu_out, _ = self._student_forward(params, inputs, fwd_rng, deterministic)
+        tea_out = self._cached_teacher_output(tea_rep)
+        if self.norm:
+            stu_out = stu_out.replace(
+                last_representation=l2_normalize(stu_out.last_representation)
+            )
+            tea_out = tea_out.replace(
+                last_representation=l2_normalize(tea_out.last_representation)
+            )
+        kd_vars = (
+            {"params": params["loss_aux"]} if self.loss_control.has_params else None
+        )
+        loss, parts = self.loss_control(
+            stu_out, tea_out, self.model_type, vit_kd_variables=kd_vars, rng=kd_rng
+        )
+        return loss, (parts, stu_out, tea_out)
+
+    def make_teacher_encode(self, mesh: Mesh) -> Callable:
+        """Jitted teacher-encode for building train-rep caches:
+        inputs (sharded over data) -> fp32 last representations."""
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        teacher_vars = self.teacher_compute_vars
+
+        def encode(inputs):
+            x = (
+                inputs.astype(self._dtype)
+                if jnp.issubdtype(inputs.dtype, jnp.floating)
+                else inputs
+            )
+            out = self.teacher.apply(teacher_vars, x, ControlFlags(), deterministic=True)
+            return out.last_representation.astype(jnp.float32)
+
+        return jax.jit(encode, in_shardings=(data,), out_shardings=repl)
+
     # ------------------------------------------------------------------
     # jitted steps
     # ------------------------------------------------------------------
 
     def make_train_step(
-        self, mesh: Mesh, tx, deterministic: bool = True, trainable_mask=None
+        self, mesh: Mesh, tx, deterministic: bool = True, trainable_mask=None,
+        cached_teacher: bool = False,
     ) -> Callable:
         """One optimizer step; batch sharded over data, state replicated.
 
@@ -278,6 +369,14 @@ class DistillTask:
         dropout/droppath rng streams.  ``trainable_mask`` defaults to the
         mask computed at init_state (freeze_embed semantics); pass an
         explicit None-mask step after ``unfreeze_epoch``.
+
+        ``cached_teacher=True`` returns a step taking precomputed teacher
+        representations instead of teacher variables —
+        ``step(state, tea_rep, inputs, rng)`` — dropping the frozen teacher
+        tower from the step entirely (stage-2 text inputs are fixed token
+        tensors, so its outputs are constants; reference pre-encodes the
+        same way for val, combine_text_dataset.py:59-82).  Requires a
+        no-taps loss config.
         """
         if trainable_mask is None:
             trainable_mask = getattr(self, "_mask", None)
@@ -285,6 +384,28 @@ class DistillTask:
             trainable_mask = None
         repl = replicated(mesh)
         data = batch_sharding(mesh)
+
+        if cached_teacher:
+            self._require_cacheable()
+
+            def step(state: TrainState, tea_rep, inputs, rng):
+                rng = jax.random.fold_in(rng, state.step)
+                grad_fn = jax.value_and_grad(self.loss_fn_cached, has_aux=True)
+                (loss, (parts, _, _)), grads = grad_fn(
+                    state.params, tea_rep, inputs, rng, deterministic
+                )
+                new_state = state.apply_gradients(grads, tx, trainable_mask)
+                metrics = {"loss": loss, **parts}
+                if self.log_grad_norm:
+                    metrics["grad_norm"] = optax.global_norm(grads)
+                return new_state, metrics
+
+            return jax.jit(
+                step,
+                in_shardings=(repl, data, data, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
 
         def step(state: TrainState, teacher_vars, inputs, rng):
             rng = jax.random.fold_in(rng, state.step)

@@ -89,6 +89,20 @@ class DualDistillTask:
         self.loss_control = LossCalculator(**self.loss_control_para)
         self.flags: ControlFlags = self.loss_control.control_flags()
         self._dtype = jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+        self._teacher_compute_vars = None
+
+    @property
+    def teacher_compute_vars(self):
+        """Teacher variables pre-cast to the compute dtype once (see
+        DistillTask.teacher_compute_vars)."""
+        if self._teacher_compute_vars is None:
+            self._teacher_compute_vars = jax.tree_util.tree_map(
+                lambda x: x.astype(self._dtype)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32
+                else x,
+                self.teacher_vars,
+            )
+        return self._teacher_compute_vars
 
     # ------------------------------------------------------------------
 
@@ -238,8 +252,78 @@ class DualDistillTask:
         )
         return loss, (parts, stu_out, tea_out)
 
+    # -- cached frozen-text-teacher path (VERDICT r1 item 4) -------------
+    #
+    # Stage-3 captions are fixed token tensors while images are augmented:
+    # the teacher TEXT tower's outputs are per-sample constants and can be
+    # precomputed (reference pre-encodes fixed inputs the same way,
+    # combine_text_dataset.py:59-82); the teacher image tower stays live.
+
+    def loss_fn_cached_text(
+        self, params, teacher_vars, tokens, images, tea_text_rep, rng, deterministic
+    ):
+        from distillclip_tpu.models import l2_normalize
+        from distillclip_tpu.models.outputs import CLIPOutput, TextOutput
+
+        fwd_rng, kd_rng = jax.random.split(rng)
+        compute_params = cast_to_compute(params["student"], self._dtype)
+        rngs = None
+        if not deterministic:
+            d, p = jax.random.split(fwd_rng)
+            rngs = {"dropout": d, "droppath": p}
+        imgs = images.astype(self._dtype)
+        stu_out = self.student.apply(
+            {"params": compute_params}, tokens, imgs, self.flags,
+            deterministic=deterministic, rngs=rngs,
+        )
+        tea_vis = self.teacher.apply(
+            teacher_vars, imgs, self.flags, deterministic=True, method="encode_image"
+        )
+        text_rep = tea_text_rep.astype(self._dtype)
+        # last_layer_output is unread by no-tap losses (fine_grain is
+        # student-only); the dummy slice keeps the pytree total
+        tea_text = TextOutput(
+            last_representation=text_rep, last_layer_output=text_rep[:, None, :]
+        )
+        # identical arithmetic to CLIPModel.__call__ (models/clip.py:53-65)
+        image_feature = l2_normalize(tea_vis.last_representation)
+        text_feature = l2_normalize(text_rep)
+        logits = jnp.einsum(
+            "id,td->it", image_feature, text_feature, preferred_element_type=jnp.float32
+        )
+        tea_out = CLIPOutput(
+            visual_output=tea_vis, text_output=tea_text,
+            i2t_logits=logits, t2i_logits=logits.T,
+        )
+        tea_out = jax.lax.stop_gradient(tea_out)
+        if self.norm:
+            stu_out = norm_last_representation(stu_out)
+            tea_out = norm_last_representation(tea_out)
+        kd_vars = {"params": params["loss_aux"]} if self.loss_control.has_params else None
+        loss, parts = self.loss_control(
+            stu_out, tea_out, "all", vit_kd_variables=kd_vars, rng=kd_rng
+        )
+        return loss, (parts, stu_out, tea_out)
+
+    def make_teacher_text_encode(self, mesh: Mesh) -> Callable:
+        """Jitted teacher TEXT encode for building stage-3 caption caches:
+        tokens (sharded over data) -> fp32 last representations."""
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        teacher_vars = self.teacher_compute_vars
+
+        def encode(tokens):
+            out = self.teacher.apply(
+                teacher_vars, tokens, ControlFlags(), deterministic=True,
+                method="encode_text",
+            )
+            return out.last_representation.astype(jnp.float32)
+
+        return jax.jit(encode, in_shardings=(data,), out_shardings=repl)
+
     def make_train_step(
-        self, mesh: Mesh, tx, deterministic: bool = True, trainable_mask=None
+        self, mesh: Mesh, tx, deterministic: bool = True, trainable_mask=None,
+        cached_text_teacher: bool = False,
     ) -> Callable:
         if trainable_mask is None:
             trainable_mask = getattr(self, "_mask", None)
@@ -247,6 +331,34 @@ class DualDistillTask:
             trainable_mask = None
         repl = replicated(mesh)
         data = batch_sharding(mesh)
+
+        if cached_text_teacher:
+            if self.flags.any_tap():
+                raise ValueError(
+                    "cached_text_teacher requires a loss config without "
+                    f"teacher taps (per-layer losses); got flags {self.flags}."
+                )
+
+            def step_cached(state: TrainState, teacher_vars, tokens, images, tea_text_rep, rng):
+                rng = jax.random.fold_in(rng, state.step)
+                (loss, (parts, _, _)), grads = jax.value_and_grad(
+                    self.loss_fn_cached_text, has_aux=True
+                )(
+                    state.params, teacher_vars, tokens, images, tea_text_rep,
+                    rng, deterministic,
+                )
+                new_state = state.apply_gradients(grads, tx, trainable_mask)
+                metrics = {"loss": loss, **parts}
+                if self.log_grad_norm:
+                    metrics["grad_norm"] = optax.global_norm(grads)
+                return new_state, metrics
+
+            return jax.jit(
+                step_cached,
+                in_shardings=(repl, repl, data, data, data, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
 
         def step(state: TrainState, teacher_vars, tokens, images, rng):
             rng = jax.random.fold_in(rng, state.step)

@@ -119,9 +119,14 @@ class Trainer:
 
         dual = hasattr(task, "image_student")
         rng = jax.random.PRNGKey(self.seed)
+        # frozen teacher pre-cast to the compute dtype once (hot-path bytes)
+        teacher_cv = getattr(task, "teacher_compute_vars", task.teacher_vars)
 
         # --- state init from one sample batch ---
         sample = next(iter(train_loader))
+        # datasets carrying precomputed teacher reps ('tea_rep') drop the
+        # frozen teacher tower from the train step (VERDICT r1 item 4)
+        cached_teacher = "tea_rep" in sample
         if dual:
             state, tx = task.init_state(
                 rng, jnp.asarray(sample["tokens"][:1]), jnp.asarray(sample["images"][:1]),
@@ -169,9 +174,30 @@ class Trainer:
             }
         )
 
-        train_step = task.make_train_step(
-            mesh, tx, deterministic=self.deterministic_forward
-        )
+        def build_train_step(tx_, trainable_mask=None):
+            kw = {}
+            if cached_teacher:
+                kw["cached_text_teacher" if dual else "cached_teacher"] = True
+            return task.make_train_step(
+                mesh, tx_, deterministic=self.deterministic_forward,
+                trainable_mask=trainable_mask, **kw,
+            )
+
+        def run_train_step(state, batch, rng):
+            if dual:
+                if cached_teacher:
+                    return train_step(
+                        state, teacher_cv, batch["tokens"], batch["images"],
+                        batch["tea_rep"], rng,
+                    )
+                return train_step(
+                    state, teacher_cv, batch["tokens"], batch["images"], rng
+                )
+            if cached_teacher:
+                return train_step(state, batch["tea_rep"], batch["inputs"], rng)
+            return train_step(state, teacher_cv, batch["inputs"], rng)
+
+        train_step = build_train_step(tx)
         eval_step = task.make_eval_step(mesh)
         unfrozen = False
 
@@ -195,10 +221,7 @@ class Trainer:
                 and task.unfreeze_epoch
                 and epoch >= task.unfreeze_epoch
             ):
-                train_step = task.make_train_step(
-                    mesh, tx, deterministic=self.deterministic_forward,
-                    trainable_mask=False,
-                )
+                train_step = build_train_step(tx, trainable_mask=False)
                 unfrozen = True
 
             if hasattr(train_loader, "set_epoch"):
@@ -229,14 +252,7 @@ class Trainer:
                 with prof.profile("host_to_device"):
                     batch = shard_batch(mesh, batch)
                 with prof.profile("train_step"):
-                    if dual:
-                        state, metrics = train_step(
-                            state, task.teacher_vars, batch["tokens"], batch["images"], rng
-                        )
-                    else:
-                        state, metrics = train_step(
-                            state, task.teacher_vars, batch["inputs"], rng
-                        )
+                    state, metrics = run_train_step(state, batch, rng)
                 prof.step()
                 n_items += len(jax.tree_util.tree_leaves(batch)[0])
                 if (
@@ -264,9 +280,8 @@ class Trainer:
                 if measured != steps_per_epoch:
                     steps_per_epoch = measured
                     tx = task.make_optimizer(steps_per_epoch)
-                    train_step = task.make_train_step(
-                        mesh, tx, deterministic=self.deterministic_forward,
-                        trainable_mask=False if unfrozen else None,
+                    train_step = build_train_step(
+                        tx, trainable_mask=False if unfrozen else None
                     )
                     logger.log_metrics(
                         {"perf/steps_per_epoch_recalibrated": measured}, int(state.step)
@@ -296,11 +311,11 @@ class Trainer:
                 batch = shard_batch(mesh, batch)
                 if dual:
                     metrics, reps = eval_step(
-                        state, task.teacher_vars, batch["tokens"], batch["images"]
+                        state, teacher_cv, batch["tokens"], batch["images"]
                     )
                 else:
                     metrics, reps = eval_step(
-                        state, task.teacher_vars, batch["inputs"], batch["contrary"]
+                        state, teacher_cv, batch["inputs"], batch["contrary"]
                     )
                 for k, v in metrics.items():
                     val_metrics_acc.setdefault(k, []).append(float(v))
@@ -354,6 +369,7 @@ class Trainer:
         val_loader = datamodule.val_dataloader()
         eval_step = task.make_eval_step(mesh)
         dual = hasattr(task, "image_student")
+        teacher_cv = getattr(task, "teacher_compute_vars", task.teacher_vars)
         reps_list = []
         val_metrics_acc: Dict[str, list] = {}
         for i, batch in enumerate(val_loader):
@@ -361,9 +377,9 @@ class Trainer:
                 break
             batch = shard_batch(mesh, batch)
             if dual:
-                metrics, reps = eval_step(state, task.teacher_vars, batch["tokens"], batch["images"])
+                metrics, reps = eval_step(state, teacher_cv, batch["tokens"], batch["images"])
             else:
-                metrics, reps = eval_step(state, task.teacher_vars, batch["inputs"], batch["contrary"])
+                metrics, reps = eval_step(state, teacher_cv, batch["inputs"], batch["contrary"])
             for k, v in metrics.items():
                 val_metrics_acc.setdefault(k, []).append(float(v))
             reps_list.append(jax.device_get(reps))

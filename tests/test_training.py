@@ -23,7 +23,7 @@ from distillclip_tpu.training import (
     save_pytree,
 )
 
-from test_teacher import _make_state_dict, CTX, RES, VOCAB, PATCH
+from test_teacher import _make_state_dict, CTX, OUT, RES, VOCAB, PATCH
 
 
 @pytest.fixture(scope="module")
@@ -290,3 +290,159 @@ def test_declared_steps_per_epoch_used(ckpt_path, tmp_path):
     assert not any("perf/steps_per_epoch_recalibrated" in d for d in lines)
     hp = json.load(open(tmp_path / "declared" / "hparams.json"))
     assert hp["steps_per_epoch"] == 3
+
+
+# ---------------------------------------------------------------------------
+# cached frozen-teacher path (VERDICT r1 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_cached_teacher_step_matches_live(ckpt_path, mesh):
+    """Precomputed teacher reps must reproduce the live-teacher loss: the
+    rep round-trips bf16 -> f32 cache -> bf16 exactly."""
+    task = _text_task(ckpt_path)
+    rng = jax.random.PRNGKey(0)
+    B = 16
+    tokens = np.random.default_rng(0).integers(1, VOCAB - 1, size=(B, CTX))
+    tokens[:, -1] = VOCAB - 1
+    batch = shard_batch(mesh, jnp.asarray(tokens))
+    tea_rep = task.make_teacher_encode(mesh)(batch)
+    assert tea_rep.shape == (B, OUT) and tea_rep.dtype == jnp.float32
+
+    state, tx = task.init_state(rng, jnp.asarray(tokens[:1]), steps_per_epoch=2)
+    live = task.make_train_step(mesh, tx)
+    _, m_live = live(state, task.teacher_compute_vars, batch, rng)
+
+    state2, tx2 = task.init_state(rng, jnp.asarray(tokens[:1]), steps_per_epoch=2)
+    cached = task.make_train_step(mesh, tx2, cached_teacher=True)
+    state2, m_cached = cached(state2, shard_batch(mesh, tea_rep), batch, rng)
+    np.testing.assert_allclose(
+        float(m_live["loss"]), float(m_cached["loss"]), rtol=1e-2
+    )
+    # and the cached step trains
+    losses = [float(m_cached["loss"])]
+    for _ in range(5):
+        state2, m_cached = cached(state2, shard_batch(mesh, tea_rep), batch, rng)
+        losses.append(float(m_cached["loss"]))
+    assert losses[-1] < losses[0], f"cached-teacher loss did not decrease: {losses}"
+
+
+def test_cached_teacher_rejects_taps(ckpt_path, mesh):
+    """Per-layer losses read input-dependent teacher internals: caching must
+    refuse (taps force a live teacher)."""
+    task = _text_task(
+        ckpt_path,
+        loss_control_para={"loss_name": ["out_l1", "hidden_rep_mse"]},
+        teacher_need_layers=[0, 1],
+    )
+    tx = task.make_optimizer(2)
+    with pytest.raises(ValueError, match="cached_teacher"):
+        task.make_train_step(mesh, tx, cached_teacher=True)
+
+
+def test_dual_cached_text_teacher_matches_live(ckpt_path, mesh):
+    """Stage-3: cached teacher TEXT reps + live teacher image tower must
+    reproduce the live two-tower loss (incl. teacher contrastive logits)."""
+    img_student = RepeatVisionTransformer(
+        img_size=RES, patch_size=PATCH, out_dim=48, embed_dim=32, depth=2,
+        num_heads=4, repeated_times=2, qkv_bias=True,
+    )
+    txt_student = RepeatTextTransformer(
+        vocab_size=VOCAB, context_length=CTX, out_dim=48, embed_dim=32,
+        depth=2, num_heads=4, repeated_times=2,
+    )
+    task = DualDistillTask(
+        image_student=img_student, text_student=txt_student,
+        loss_control_para={"loss_name": ["out_l1", "out_cos", "cos_diff"],
+                           "loss_scale": {"cos_diff": 0.1}},
+        teacher_name=ckpt_path, lr=1e-3, warm_steps=1, total_steps=10,
+    )
+    rng = jax.random.PRNGKey(1)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(16, RES, RES, 3)), jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(0).integers(1, VOCAB, size=(16, CTX)))
+    b_toks, b_imgs = shard_batch(mesh, toks), shard_batch(mesh, imgs)
+
+    text_rep = task.make_teacher_text_encode(mesh)(b_toks)
+    assert text_rep.shape == (16, 48)
+
+    state, tx = task.init_state(rng, toks[:1], imgs[:1], steps_per_epoch=2)
+    live = task.make_train_step(mesh, tx)
+    _, m_live = live(state, task.teacher_compute_vars, b_toks, b_imgs, rng)
+
+    state2, tx2 = task.init_state(rng, toks[:1], imgs[:1], steps_per_epoch=2)
+    cached = task.make_train_step(mesh, tx2, cached_text_teacher=True)
+    _, m_cached = cached(
+        state2, task.teacher_compute_vars, b_toks, b_imgs,
+        shard_batch(mesh, text_rep), rng,
+    )
+    np.testing.assert_allclose(
+        float(m_live["loss"]), float(m_cached["loss"]), rtol=1e-2
+    )
+    # the image-text loss (teacher logits) must match too, not just one-tower
+    np.testing.assert_allclose(
+        float(m_live["cos_diff"]), float(m_cached["cos_diff"]), rtol=2e-2, atol=1e-4
+    )
+
+
+def test_combine_text_dataset_cached_reps(tmp_path):
+    from distillclip_tpu.data.component import combine_text_dataset as ctd
+
+    tokens = np.arange(10 * CTX, dtype=np.int32).reshape(10, CTX) % VOCAB
+    reps = np.random.default_rng(0).normal(size=(10, 8)).astype(np.float32)
+    np.savez(ctd._train_cache(tmp_path, "T"), tokens=tokens)
+    np.savez(ctd._train_rep_cache(tmp_path, "T"), train_rep=reps)
+    ds = ctd.CombineTextDataset(
+        cache_dir=str(tmp_path), train=True, teacher_name="T",
+        cached_teacher_reps=True,
+    )
+    item = ds[3]
+    np.testing.assert_array_equal(item["inputs"], tokens[3])
+    np.testing.assert_array_equal(item["tea_rep"], reps[3])
+    # without the flag: no rep key
+    assert "tea_rep" not in ctd.CombineTextDataset(
+        cache_dir=str(tmp_path), train=True, teacher_name="T"
+    )[0]
+    # row-count mismatch is an error
+    np.savez(ctd._train_rep_cache(tmp_path, "T"), train_rep=reps[:5])
+    with pytest.raises(ValueError, match="re-run prepare"):
+        ctd.CombineTextDataset(cache_dir=str(tmp_path), train=True,
+                               teacher_name="T", cached_teacher_reps=True)
+
+
+def test_trainer_fit_with_cached_teacher_batches(ckpt_path, tmp_path):
+    """Trainer auto-selects the cached step when batches carry 'tea_rep'."""
+    import json
+    from distillclip_tpu.training.trainer import Trainer
+
+    B = 8
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(1, VOCAB - 1, size=(4 * B, CTX)).astype(np.int32)
+    reps = rng.normal(size=(4 * B, OUT)).astype(np.float32)
+
+    class CachedDM:
+        def prepare_data(self):
+            pass
+
+        def setup(self, stage=None):
+            pass
+
+        def train_dataloader(self, epoch=0):
+            def gen():
+                for i in range(4):
+                    yield {"inputs": tokens[i * B:(i + 1) * B],
+                           "tea_rep": reps[i * B:(i + 1) * B]}
+            return gen()
+
+        def val_dataloader(self):
+            def gen():
+                yield {"inputs": tokens[:B],
+                       "contrary": rng.normal(size=(B, OUT)).astype(np.float32)}
+            return gen()
+
+    task = _text_task(ckpt_path, total_steps=4, warm_steps=1)
+    trainer = Trainer(max_epochs=1, result_dir=str(tmp_path), run_name="cached",
+                      log_every_n_steps=1)
+    trainer.fit(task, CachedDM())
+    lines = [json.loads(l) for l in open(tmp_path / "cached" / "metrics.jsonl")]
+    assert any("train_loss/loss" in d for d in lines)
+    assert any("val_loss/loss" in d for d in lines)
