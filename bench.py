@@ -2,21 +2,28 @@
 """Benchmark: L-CLIP distillation throughput (image-text pairs/sec/chip).
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-The workload is the stage-3 joint L-CLIP train step at the shipped final
-scale (configs/final/l_clip.yaml): weight-share ViT student (depth 6,
+The headline workload is the stage-3 joint L-CLIP train step at the shipped
+final scale (configs/final/l_clip.yaml): weight-share ViT student (depth 6,
 repeated x2, embed 768, heads 24, patch 32) + weight-share text student
 (depth 4, repeated x2) distilling a ViT-B/32-architecture CLIP teacher with
 out_l1 + out_cos + cos_diff losses — forward(student+teacher) + backward +
 AdamW per step.  Teacher weights are fabricated (zero-egress environment);
 identical architecture means identical arithmetic cost.
 
-Baseline: the reference publishes no numbers (BASELINE.md); the
-denominator is the driver-set north star of 8,000 pairs/sec/chip.
+The default run also measures the per-stage workloads (stage-1 image,
+stage-2 text live + cached-teacher, stage-3 cached-text-teacher) with fewer
+steps and reports them under detail.stages, so every stage's progress is
+driver-visible (VERDICT r1 item 10).
 
-    python bench.py            # full scale (TPU)
-    python bench.py --quick    # tiny scale (CPU sanity)
+Baseline: the reference publishes no numbers (BASELINE.md); the denominator
+is the driver-set north star of 8,000 pairs/sec/chip.
+
+    python bench.py                  # headline + per-stage detail (TPU)
+    python bench.py --primary-only   # headline only
+    python bench.py --stage text --cached-teacher   # one stage
+    python bench.py --quick          # tiny scale (CPU sanity)
 """
 
 import argparse
@@ -46,13 +53,179 @@ def _fabricated_vit_b32(path: str):
     return path
 
 
+def _fabricated_teacher_quick(cache):
+    from distillclip_tpu.tools.fabricate_teacher import make_clip_state_dict
+    import torch
+
+    path = os.path.join(cache, "bench_tiny.pt")
+    if not os.path.exists(path):
+        os.makedirs(cache, exist_ok=True)
+        torch.save(make_clip_state_dict(), path)
+    return path
+
+
+def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
+              cached_teacher=False):
+    """Measure one stage's train step; returns a result dict."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from distillclip_tpu.models import RepeatTextTransformer, RepeatVisionTransformer
+    from distillclip_tpu.parallel import create_mesh, shard_batch
+    from distillclip_tpu.training import DistillTask, DualDistillTask
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
+    if quick:
+        teacher = _fabricated_teacher_quick(cache)
+        img_size, patch, embed, depth, heads = 32, 8, 64, 2, 4
+        txt_embed, txt_depth = 64, 2
+        batch = batch or 16
+        out_dim = 48
+    else:
+        teacher = _fabricated_vit_b32(os.path.join(cache, "bench_vit_b32.pt"))
+        # final l_clip.yaml student scale
+        img_size, patch, embed, depth, heads = 224, 32, 768, 6, 24
+        txt_embed, txt_depth = 768, 4
+        batch = batch or {"l_clip": 256, "image": 512, "text": 1024}[stage]
+        out_dim = 512
+
+    image_student = RepeatVisionTransformer(
+        img_size=img_size, patch_size=patch, out_dim=out_dim, embed_dim=embed,
+        depth=depth, num_heads=heads, repeated_times=2, qkv_bias=True,
+        use_transform=True,
+    )
+    text_student = RepeatTextTransformer(
+        vocab_size=49408, context_length=77, out_dim=out_dim, embed_dim=txt_embed,
+        depth=txt_depth, num_heads=max(4, heads // 2), repeated_times=2,
+        use_transform=True,
+    )
+    mesh = create_mesh()
+    n_chips = mesh.devices.size
+    rng = jax.random.PRNGKey(0)
+    global_batch = batch * n_chips
+
+    images = np.random.default_rng(0).normal(size=(global_batch, img_size, img_size, 3)).astype(np.float32)
+    tokens = np.random.default_rng(1).integers(1, 49407, size=(global_batch, 77)).astype(np.int32)
+    tokens[:, -1] = 49407
+
+    if stage == "l_clip":
+        task = DualDistillTask(
+            image_student=image_student,
+            text_student=text_student,
+            loss_control_para={
+                "loss_name": ["out_l1", "out_cos", "cos_diff"],
+                "loss_scale": {"cos_diff": 0.1},
+            },
+            teacher_name=teacher,
+            lr=1e-4, warm_steps=15, total_steps=300,
+        )
+        state, tx = task.init_state(rng, jnp.asarray(tokens[:1]), jnp.asarray(images[:1]), steps_per_epoch=100)
+        b_images = shard_batch(mesh, jnp.asarray(images))
+        b_tokens = shard_batch(mesh, jnp.asarray(tokens))
+        tea_cv = task.teacher_compute_vars
+        if cached_teacher:
+            b_reps = shard_batch(mesh, task.make_teacher_text_encode(mesh)(b_tokens))
+            step_fn = task.make_train_step(mesh, tx, cached_text_teacher=True)
+            lower_args = (state, tea_cv, b_tokens, b_images, b_reps, rng)
+        else:
+            step_fn = task.make_train_step(mesh, tx)
+            lower_args = (state, tea_cv, b_tokens, b_images, rng)
+    else:
+        task = DistillTask(
+            student=image_student if stage == "image" else text_student,
+            loss_control_para={"loss_name": ["out_l1", "out_cos"]},
+            teacher_name=teacher,
+            model_type=stage,
+            lr=5e-3, warm_steps=10, total_steps=200,
+        )
+        inputs = images if stage == "image" else tokens
+        state, tx = task.init_state(rng, jnp.asarray(inputs[:1]), steps_per_epoch=100)
+        b_inputs = shard_batch(mesh, jnp.asarray(inputs))
+        tea_cv = task.teacher_compute_vars
+        if cached_teacher:
+            b_reps = shard_batch(mesh, task.make_teacher_encode(mesh)(b_inputs))
+            step_fn = task.make_train_step(mesh, tx, cached_teacher=True)
+            lower_args = (state, b_reps, b_inputs, rng)
+        else:
+            step_fn = task.make_train_step(mesh, tx)
+            lower_args = (state, tea_cv, b_inputs, rng)
+
+    step = lambda st: step_fn(st, *lower_args[1:])
+
+    def fence(m):
+        # host readback is the only reliable completion fence on remote
+        # (tunneled) backends where block_until_ready returns at dispatch
+        return float(np.asarray(m["loss"]))
+
+    for _ in range(warmup):
+        state, metrics = step(state)
+    fence(metrics)
+
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step(state)
+    fence(metrics)
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec_per_chip = global_batch * steps / dt / n_chips
+
+    # MFU estimate from XLA's own cost model (bf16 peak ~197 TF/s per v5e)
+    mfu = step_flops = step_bytes = None
+    try:
+        c = step_fn.lower(*lower_args).compile()
+        ca = c.cost_analysis()
+        ca = ca[0] if isinstance(ca, list) else ca
+        step_flops = float(ca.get("flops", 0.0))
+        step_bytes = float(ca.get("bytes accessed", 0.0))
+        peak = 197e12 if jax.devices()[0].platform == "tpu" else None
+        if peak and step_flops:
+            mfu = step_flops / (dt / steps) / peak
+    except Exception:
+        pass
+
+    return {
+        "stage": stage,
+        "cached_teacher": cached_teacher,
+        "value": round(pairs_per_sec_per_chip, 2),
+        "global_batch": global_batch,
+        "chips": n_chips,
+        "step_time_ms": round(dt / steps * 1000, 2),
+        "backend": jax.devices()[0].platform,
+        "quick": quick,
+        "mfu": round(mfu, 4) if mfu else None,
+        "step_gflops": round(step_flops / 1e9, 1) if step_flops else None,
+        "step_gbytes": round(step_bytes / 1e9, 2) if step_bytes else None,
+    }
+
+
+METRIC_NAMES = {
+    "l_clip": "image-text pairs/sec/chip (L-CLIP distill)",
+    "image": "images/sec/chip (stage-1 distill)",
+    "text": "captions/sec/chip (stage-2 distill)",
+}
+
+# per-stage sub-benches reported under detail.stages on the default run;
+# fewer steps than the headline — they reuse the same compile cache
+EXTRA_STAGES = (
+    ("l_clip_cached", dict(stage="l_clip", cached_teacher=True)),
+    ("text", dict(stage="text")),
+    ("text_cached", dict(stage="text", cached_teacher=True)),
+    ("image", dict(stage="image")),
+)
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true", help="tiny CPU sanity run")
     parser.add_argument("--batch", type=int, default=None, help="per-chip batch size")
     parser.add_argument("--steps", type=int, default=20)
     parser.add_argument("--warmup", type=int, default=3)
-    parser.add_argument("--stage", choices=["l_clip", "image", "text"], default="l_clip")
+    parser.add_argument("--stage", choices=["l_clip", "image", "text"], default=None,
+                        help="measure ONE stage (default: headline l_clip + "
+                             "per-stage sub-benches in detail.stages)")
+    parser.add_argument("--primary-only", action="store_true",
+                        help="skip the per-stage sub-benches")
     parser.add_argument(
         "--cached-teacher", action="store_true",
         help="precompute frozen-teacher text reps and drop that tower from "
@@ -78,170 +251,37 @@ def main():
         except Exception:
             pass
 
-    import jax.numpy as jnp
+    primary_stage = args.stage or "l_clip"
+    res = run_stage(primary_stage, quick=args.quick, batch=args.batch,
+                    steps=args.steps, warmup=args.warmup,
+                    cached_teacher=args.cached_teacher)
 
-    from distillclip_tpu.models import RepeatTextTransformer, RepeatVisionTransformer
-    from distillclip_tpu.parallel import create_mesh, shard_batch
-    from distillclip_tpu.training import DistillTask, DualDistillTask
+    detail = dict(res)
+    value = detail.pop("value")
 
-    import numpy as np
+    if args.stage is None and not args.primary_only:
+        stages = {}
+        for name, kw in EXTRA_STAGES:
+            try:
+                r = run_stage(quick=args.quick, steps=max(5, args.steps // 2),
+                              warmup=2, **kw)
+                stages[name] = {
+                    "value": r["value"],
+                    "global_batch": r["global_batch"],
+                    "step_time_ms": r["step_time_ms"],
+                    "cached_teacher": r["cached_teacher"],
+                }
+            except Exception as e:  # sub-benches must never sink the headline
+                stages[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        detail["stages"] = stages
 
-    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".cache")
-    if args.quick:
-        teacher = _fabricated_teacher_quick(cache)
-        img_size, patch, embed, depth, heads = 32, 8, 64, 2, 4
-        txt_embed, txt_depth = 64, 2
-        batch = args.batch or 16
-        out_dim = 48
-    else:
-        teacher = _fabricated_vit_b32(os.path.join(cache, "bench_vit_b32.pt"))
-        # final l_clip.yaml student scale
-        img_size, patch, embed, depth, heads = 224, 32, 768, 6, 24
-        txt_embed, txt_depth = 768, 4
-        batch = args.batch or 256
-        out_dim = 512
-
-    image_student = RepeatVisionTransformer(
-        img_size=img_size, patch_size=patch, out_dim=out_dim, embed_dim=embed,
-        depth=depth, num_heads=heads, repeated_times=2, qkv_bias=True,
-        use_transform=True,
-    )
-    text_student = RepeatTextTransformer(
-        vocab_size=49408, context_length=77, out_dim=out_dim, embed_dim=txt_embed,
-        depth=txt_depth, num_heads=max(4, heads // 2), repeated_times=2,
-        use_transform=True,
-    )
-    mesh = create_mesh()
-    n_chips = mesh.devices.size
-    rng = jax.random.PRNGKey(0)
-    global_batch = batch * n_chips
-
-    images = np.random.default_rng(0).normal(size=(global_batch, img_size, img_size, 3)).astype(np.float32)
-    tokens = np.random.default_rng(1).integers(1, 49407, size=(global_batch, 77)).astype(np.int32)
-    tokens[:, -1] = 49407
-
-    if args.stage == "l_clip":
-        task = DualDistillTask(
-            image_student=image_student,
-            text_student=text_student,
-            loss_control_para={
-                "loss_name": ["out_l1", "out_cos", "cos_diff"],
-                "loss_scale": {"cos_diff": 0.1},
-            },
-            teacher_name=teacher,
-            lr=1e-4, warm_steps=15, total_steps=300,
-        )
-        state, tx = task.init_state(rng, jnp.asarray(tokens[:1]), jnp.asarray(images[:1]), steps_per_epoch=100)
-        b_images = shard_batch(mesh, jnp.asarray(images))
-        b_tokens = shard_batch(mesh, jnp.asarray(tokens))
-        tea_cv = task.teacher_compute_vars
-        if args.cached_teacher:
-            b_reps = shard_batch(
-                mesh, task.make_teacher_text_encode(mesh)(b_tokens)
-            )
-            step_fn = task.make_train_step(mesh, tx, cached_text_teacher=True)
-            step = lambda st: step_fn(st, tea_cv, b_tokens, b_images, b_reps, rng)
-        else:
-            step_fn = task.make_train_step(mesh, tx)
-            step = lambda st: step_fn(st, tea_cv, b_tokens, b_images, rng)
-    else:
-        single = DistillTask(
-            student=image_student if args.stage == "image" else text_student,
-            loss_control_para={"loss_name": ["out_l1", "out_cos"]},
-            teacher_name=teacher,
-            model_type=args.stage,
-            lr=5e-3, warm_steps=10, total_steps=200,
-        )
-        task = single
-        inputs = images if args.stage == "image" else tokens
-        state, tx = task.init_state(rng, jnp.asarray(inputs[:1]), steps_per_epoch=100)
-        b_inputs = shard_batch(mesh, jnp.asarray(inputs))
-        tea_cv = task.teacher_compute_vars
-        if args.cached_teacher:
-            b_reps = shard_batch(mesh, task.make_teacher_encode(mesh)(b_inputs))
-            step_fn = task.make_train_step(mesh, tx, cached_teacher=True)
-            step = lambda st: step_fn(st, b_reps, b_inputs, rng)
-        else:
-            step_fn = task.make_train_step(mesh, tx)
-            step = lambda st: step_fn(st, tea_cv, b_inputs, rng)
-
-    def fence(m):
-        # host readback is the only reliable completion fence on remote
-        # (tunneled) backends where block_until_ready returns at dispatch
-        return float(np.asarray(m["loss"]))
-
-    for _ in range(args.warmup):
-        state, metrics = step(state)
-    fence(metrics)
-
-    t0 = time.perf_counter()
-    for _ in range(args.steps):
-        state, metrics = step(state)
-    fence(metrics)
-    dt = time.perf_counter() - t0
-
-    pairs_per_sec = global_batch * args.steps / dt
-    pairs_per_sec_per_chip = pairs_per_sec / n_chips
-
-    # MFU estimate from XLA's own cost model (bf16 peak ~197 TF/s per v5e)
-    mfu = None
-    step_flops = None
-    step_bytes = None
-    try:
-        # re-lower the jitted step with the same args used above
-        if args.stage == "l_clip":
-            if args.cached_teacher:
-                c = step_fn.lower(state, tea_cv, b_tokens, b_images, b_reps, rng).compile()
-            else:
-                c = step_fn.lower(state, tea_cv, b_tokens, b_images, rng).compile()
-        elif args.cached_teacher:
-            c = step_fn.lower(state, b_reps, b_inputs, rng).compile()
-        else:
-            c = step_fn.lower(state, tea_cv, b_inputs, rng).compile()
-        ca = c.cost_analysis()
-        ca = ca[0] if isinstance(ca, list) else ca
-        step_flops = float(ca.get("flops", 0.0))
-        step_bytes = float(ca.get("bytes accessed", 0.0))
-        peak = 197e12 if jax.devices()[0].platform == "tpu" else None
-        if peak and step_flops:
-            mfu = step_flops / (dt / args.steps) / peak
-    except Exception:
-        pass
-
-    metric_name = {
-        "l_clip": "image-text pairs/sec/chip (L-CLIP distill)",
-        "image": "images/sec/chip (stage-1 distill)",
-        "text": "captions/sec/chip (stage-2 distill)",
-    }[args.stage]
     print(json.dumps({
-        "metric": metric_name,
-        "value": round(pairs_per_sec_per_chip, 2),
+        "metric": METRIC_NAMES[primary_stage],
+        "value": value,
         "unit": "pairs/s/chip",
-        "vs_baseline": round(pairs_per_sec_per_chip / NORTH_STAR_PAIRS_PER_SEC, 4),
-        "detail": {
-            "stage": args.stage,
-            "cached_teacher": args.cached_teacher,
-            "global_batch": global_batch,
-            "chips": n_chips,
-            "step_time_ms": round(dt / args.steps * 1000, 2),
-            "backend": jax.devices()[0].platform,
-            "quick": args.quick,
-            "mfu": round(mfu, 4) if mfu else None,
-            "step_gflops": round(step_flops / 1e9, 1) if step_flops else None,
-            "step_gbytes": round(step_bytes / 1e9, 2) if step_bytes else None,
-        },
+        "vs_baseline": round(value / NORTH_STAR_PAIRS_PER_SEC, 4),
+        "detail": detail,
     }))
-
-
-def _fabricated_teacher_quick(cache):
-    from distillclip_tpu.tools.fabricate_teacher import make_clip_state_dict
-    import torch
-
-    path = os.path.join(cache, "bench_tiny.pt")
-    if not os.path.exists(path):
-        os.makedirs(cache, exist_ok=True)
-        torch.save(make_clip_state_dict(), path)
-    return path
 
 
 if __name__ == "__main__":
