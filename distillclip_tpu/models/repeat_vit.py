@@ -66,7 +66,15 @@ class StudentLayerNorm(nn.Module):
 
 class StudentDense(nn.Dense):
     """Dense with trunc-normal(0.02) kernel / zero bias (timm-style init,
-    weight_share_model.py:308-315)."""
+    weight_share_model.py:308-315).
+
+    NOTE on layouts (measured, BENCH_NOTES round 2): at unaligned sequence
+    lengths (N=77/50) XLA layout assignment couples these denses to the
+    attention ops and puts BATCH on the lane dim, running every dense as a
+    transposed matmul at ~35% MFU.  Neither flattening the dot to 2D nor
+    lane-aligning the key dim changes its choice; only the Pallas rows
+    kernels (which keep attention out of XLA's layout graph) avoid it.
+    """
 
     def __init__(self, features, use_bias=True, name=None):
         super().__init__(
@@ -233,8 +241,9 @@ class MiniAttention(nn.Module):
                 preferred_element_type=buf_dtype,
             )
 
-        if kv_len is not None and kv_len < N:
-            col = jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+        n_keys = k.shape[2]
+        if kv_len is not None and kv_len < n_keys:
+            col = jax.lax.broadcasted_iota(jnp.int32, (N, n_keys), 1)
             attn = attn + jnp.where(col < kv_len, 0.0, -1e9)[None, None].astype(attn.dtype)
 
         attn = jax.nn.softmax(attn, axis=-1)
