@@ -76,7 +76,13 @@ class CombineImageDataset(MapDataset):
         teacher_name: str = "ViT-B/32",
         image_size: int = 224,
         rand_augment_ops: int = 4,
+        use_native_decode: bool = True,
+        device_normalize: bool = False,
     ):
+        # device_normalize: emit raw uint8 pixels; the train step applies
+        # (x/255 - mean)/std on device (train_state.prepare_inputs) — 4x
+        # less host->device transfer than normalized fp32
+        self.device_normalize = device_normalize
         if image_use is None:
             image_use = ["coco", "imagenet"]
         for i in image_use:
@@ -95,6 +101,15 @@ class CombineImageDataset(MapDataset):
             # (combine_image_dataset.py:97-103)
             self.transform = train_image_transform(image_size, rand_augment_ops)
             self.captions_rep = None
+            self.image_size = image_size
+            # native libjpeg decode (resize/crop in C++) feeding RandAugment;
+            # per-item and GIL-free, so loader threads decode in parallel
+            self.use_native_decode = use_native_decode
+            from distillclip_tpu.data import native_loader
+            from distillclip_tpu.data.transforms import RandAugment
+
+            self._native = native_loader
+            self._rand_augment = RandAugment(num_ops=rand_augment_ops)
         else:
             data = np.load(_cache_path(cache_dir, teacher_name), allow_pickle=False)
             self.path_list = [str(p) for p in data["paths"]]
@@ -106,7 +121,25 @@ class CombineImageDataset(MapDataset):
         return len(self.path_list)
 
     def __getitem__(self, idx):
-        img = Image.open(self.path_list[idx]).convert("RGB")
+        from distillclip_tpu.data.transforms import to_normalized_array
+
+        path = self.path_list[idx]
+        if self.train and self.use_native_decode:
+            raw = self._native.decode_raw_file(path, self.image_size)
+            if raw is not None:
+                augmented = self._rand_augment(Image.fromarray(raw))
+                if self.device_normalize:
+                    return {"inputs": np.asarray(augmented.convert("RGB"), np.uint8)}
+                return {"inputs": to_normalized_array(augmented)}
+            # fall through to PIL on non-JPEG / decode failure
+        img = Image.open(path).convert("RGB")
+        if self.train and self.device_normalize:
+            from distillclip_tpu.data.transforms import center_crop, resize_shorter
+
+            augmented = self._rand_augment(
+                center_crop(resize_shorter(img, self.image_size), self.image_size)
+            )
+            return {"inputs": np.asarray(augmented.convert("RGB"), np.uint8)}
         image = self.transform(img)
         if self.train:
             return {"inputs": image}

@@ -83,6 +83,17 @@ class MainDataModule:
         if stage in ("test", None):
             self.testset = self.instancialize(train=False)
 
+    @staticmethod
+    def _shard_kwargs():
+        """Per-process data sharding for multi-host runs (the Lightning DDP
+        sampler equivalent): each process loads its slice of the epoch."""
+        import jax
+
+        if jax.process_count() > 1:
+            return {"num_shards": jax.process_count(),
+                    "shard_index": jax.process_index()}
+        return {}
+
     def train_dataloader(self) -> DataLoader:
         return DataLoader(
             self.trainset,
@@ -91,6 +102,7 @@ class MainDataModule:
             drop_last=True,
             seed=self.seed,
             num_threads=self.num_workers,
+            **self._shard_kwargs(),
         )
 
     def val_dataloader(self) -> DataLoader:
@@ -100,6 +112,7 @@ class MainDataModule:
             shuffle=False,
             drop_last=True,  # static shapes under jit; mirrors ddp_equalize
             num_threads=self.num_workers,
+            **self._shard_kwargs(),
         )
 
     def test_dataloader(self) -> DataLoader:
@@ -109,4 +122,5 @@ class MainDataModule:
             shuffle=False,
             drop_last=True,
             num_threads=self.num_workers,
+            **self._shard_kwargs(),
         )

@@ -57,7 +57,16 @@ class DataLoader:
         seed: int = 2022,
         num_threads: int = 8,
         prefetch: int = 4,
+        num_shards: int = 1,
+        shard_index: int = 0,
     ):
+        """``num_shards``/``shard_index``: per-PROCESS data sharding for
+        multi-host runs — each process loads only its interleaved slice of
+        the (identically seeded) epoch permutation, and every shard sees
+        the same number of batches (the reference's ``ddp_equalize``,
+        text_image_datamodule.py:80).  ``batch_size`` is the per-process
+        batch; the global batch is ``batch_size * num_shards``.
+        """
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -65,21 +74,31 @@ class DataLoader:
         self.seed = seed
         self.num_threads = max(1, num_threads)
         self.prefetch = prefetch
+        if not (0 <= shard_index < num_shards):
+            raise ValueError(f"shard_index {shard_index} not in [0, {num_shards})")
+        self.num_shards = num_shards
+        self.shard_index = shard_index
         self._epoch = 0
 
     def set_epoch(self, epoch: int):
         self._epoch = epoch
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def _epoch_indices(self) -> np.ndarray:
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self._epoch)
-            return rng.permutation(n)
-        return np.arange(n)
+            indices = rng.permutation(n)
+        else:
+            indices = np.arange(n)
+        if self.num_shards > 1:
+            # equalize: every shard gets exactly len(self) * batch items
+            usable = (n // self.num_shards) * self.num_shards
+            indices = indices[:usable][self.shard_index :: self.num_shards]
+        return indices
 
     def __iter__(self) -> Iterator[Any]:
         indices = self._epoch_indices()

@@ -55,6 +55,11 @@ def load_library():
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.c_int,
     ]
+    if hasattr(lib, "dc_decode_raw_file"):
+        lib.dc_decode_raw_file.restype = ctypes.c_int
+        lib.dc_decode_raw_file.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8),
+        ]
     _LIB = lib
     return lib
 
@@ -118,6 +123,25 @@ def decode_batch_buffers(
         zero_rows = np.where(np.abs(out).sum(axis=(1, 2, 3)) == 0)[0]
         _pil_buffer_batch([buffers[i] for i in zero_rows], size, out, rows=zero_rows)
     return out
+
+
+def decode_raw_file(path: str, size: int = 224) -> Optional[np.ndarray]:
+    """One JPEG file -> uint8 RGB [size, size, 3] (resize shorter side +
+    center crop, no normalization) via the native pipeline.
+
+    Returns None when the library is absent or decode fails (caller falls
+    back to PIL).  Used by the TRAIN path, where RandAugment must see
+    pre-normalization pixels (reference augments PIL images,
+    combine_image_dataset.py:97-110).
+    """
+    lib = load_library()
+    if lib is None or not hasattr(lib, "dc_decode_raw_file"):
+        return None
+    out = np.empty((size, size, 3), np.uint8)
+    rc = lib.dc_decode_raw_file(
+        path.encode(), size, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    )
+    return out if rc == 0 else None
 
 
 def _pil_batch(paths, size, out, rows=None):

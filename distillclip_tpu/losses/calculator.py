@@ -39,11 +39,16 @@ LOSS_NAMES = (
     "attention_score_mse", "attention_probs_mse", "hidden_rep_mse",
     "attention_probs_kl", "last_value_map_kl", "vit_kd", "smd",
     "hard_label", "soft_label", "fine_grain", "logits_mse", "cos_diff",
+    # exported-but-unregistered (and broken) in the reference
+    # (smd_multi_model.py, _loss.py:57-98); fixed + registered here —
+    # see losses/functional.py smd_multi_model
+    "smd_multi_model",
 )
 
 # losses computed on the contrastive logits / cross-tower features
 # (_loss.py:14)
-IMAGE_TEXT_LOSS = ("hard_label", "soft_label", "logits_mse", "fine_grain", "cos_diff")
+IMAGE_TEXT_LOSS = ("hard_label", "soft_label", "logits_mse", "fine_grain",
+                   "cos_diff", "smd_multi_model")
 
 
 class LossCalculator:
@@ -258,6 +263,13 @@ class LossCalculator:
                 res[name] = 0.5 * (
                     F.cos_diff(stu_out.i2t_logits, tea_out.i2t_logits)
                     + F.cos_diff(stu_out.t2i_logits, tea_out.t2i_logits)
+                )
+            elif name == "smd_multi_model":
+                res[name] = F.smd_multi_model(
+                    tea_out.visual_output.last_representation,
+                    stu_out.visual_output.last_representation,
+                    stu_out.text_output.last_representation,
+                    tau=self.smd_tau,
                 )
 
         total = 0.5 * (image_loss + text_loss)

@@ -239,3 +239,57 @@ def smd(tea_inputs: Array, stu_inputs: Array, tau: float = 0.04, normalized: boo
     logits = jnp.stack([weight_an * dist_an / tau, weight_ap * dist_ap / tau], axis=1)
     labels = jnp.zeros((n,), dtype=jnp.int32)
     return cross_entropy_mean(logits, labels)
+
+
+def smd_multi_model(
+    tea_inputs: Array, stu_inputs: Array, text_inputs: Array,
+    tau: float = 0.04, normalized: bool = True,
+) -> Array:
+    """3-way SMD adding the student image-text positive (smd_multi_model.py:5-66).
+
+    The reference version is exported but never registered and cannot run:
+    it computes the image-text distance from the wrong operands
+    (``addmm_(teacher_inputs, inputs.t())``, smd_multi_model.py:36),
+    immediately overwrites it with the teacher-student distance (``dist_text
+    = dist.clamp(...)``, :37), crashes on an ``unspueeze`` typo (:63) and
+    hard-codes ``.cuda()`` (:64).  Implemented here with the evident
+    intent — the third logit column is the student image-to-text positive
+    distance ``||img_i - txt_i||`` — and REGISTERED as a two-tower loss.
+    """
+    t, s, x = _f32(tea_inputs), _f32(stu_inputs), _f32(text_inputs)
+    n = s.shape[0]
+    if normalized:
+        s = s / jnp.maximum(jnp.linalg.norm(s, axis=1, keepdims=True), 1e-12)
+        t = t / jnp.maximum(jnp.linalg.norm(t, axis=1, keepdims=True), 1e-12)
+        x = x / jnp.maximum(jnp.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+
+    t_sq = jnp.sum(t * t, axis=1, keepdims=True)
+    s_sq = jnp.sum(s * s, axis=1, keepdims=True)
+
+    dist_t = jnp.sqrt(jnp.maximum(t_sq + t_sq.T - 2.0 * (t @ t.T), 1e-12))
+    dist = jnp.sqrt(jnp.maximum(t_sq + s_sq.T - 2.0 * (t @ s.T), 1e-12))
+    text_positive = jnp.sqrt(
+        jnp.maximum(jnp.sum((s - x) ** 2, axis=1), 1e-12)
+    )  # ||img_i - txt_i||
+
+    diag = jnp.diagonal(dist)
+    negative_index = (dist_t > diag[:, None]).astype(jnp.float32)
+    negative = jnp.where(negative_index > 0, dist, 1e5)
+    positive = dist * (1.0 - negative_index)
+
+    an_idx = jnp.argmin(negative, axis=1)
+    ap_idx = jnp.argmax(positive, axis=1)
+    dist_an = jnp.take_along_axis(negative, an_idx[:, None], axis=1)[:, 0]
+    dist_ap = jnp.take_along_axis(positive, ap_idx[:, None], axis=1)[:, 0]
+    an_t = jnp.take_along_axis(dist_t, an_idx[:, None], axis=1)[:, 0]
+    ap_t = jnp.take_along_axis(dist_t, ap_idx[:, None], axis=1)[:, 0]
+
+    weight_an = jax.nn.relu(jax.lax.stop_gradient(an_t - dist_an))
+    weight_ap = jax.nn.relu(jax.lax.stop_gradient(dist_ap - ap_t))
+
+    logits = jnp.stack(
+        [weight_an * dist_an / tau, weight_ap * dist_ap / tau, text_positive / tau],
+        axis=1,
+    )
+    labels = jnp.zeros((n,), dtype=jnp.int32)
+    return cross_entropy_mean(logits, labels)

@@ -3,6 +3,7 @@ from distillclip_tpu.parallel.mesh import (
     MODEL_AXIS,
     batch_sharding,
     create_mesh,
+    initialize_distributed,
     replicate,
     replicated,
     shard_batch,
@@ -13,6 +14,7 @@ __all__ = [
     "MODEL_AXIS",
     "batch_sharding",
     "create_mesh",
+    "initialize_distributed",
     "replicate",
     "replicated",
     "shard_batch",

@@ -103,6 +103,9 @@ class DistillTask:
     # ------------------------------------------------------------------
 
     def init_params(self, rng: Array, sample_inputs: Array) -> Dict[str, Any]:
+        from distillclip_tpu.training.train_state import prepare_inputs
+
+        sample_inputs = prepare_inputs(jnp.asarray(sample_inputs), self._dtype)
         s_rng, kd_rng = jax.random.split(rng)
         variables = self.student.init(
             {"params": s_rng}, sample_inputs, self.flags, deterministic=True
@@ -246,13 +249,18 @@ class DistillTask:
             )
         return self._teacher_compute_vars
 
+    def _prepare_inputs(self, inputs):
+        from distillclip_tpu.training.train_state import prepare_inputs
+
+        return prepare_inputs(inputs, self._dtype)
+
     def _student_forward(self, params, inputs, rng, deterministic: bool):
         compute_params = cast_to_compute(params["student"], self._dtype)
         rngs = None
         if not deterministic:
             d_rng, p_rng = jax.random.split(rng)
             rngs = {"dropout": d_rng, "droppath": p_rng}
-        x = inputs.astype(self._dtype) if jnp.issubdtype(inputs.dtype, jnp.floating) else inputs
+        x = self._prepare_inputs(inputs)
         stu_out = self.student.apply(
             {"params": compute_params}, x, self.flags, deterministic=deterministic, rngs=rngs
         )
@@ -344,11 +352,7 @@ class DistillTask:
         teacher_vars = self.teacher_compute_vars
 
         def encode(inputs):
-            x = (
-                inputs.astype(self._dtype)
-                if jnp.issubdtype(inputs.dtype, jnp.floating)
-                else inputs
-            )
+            x = self._prepare_inputs(inputs)
             out = self.teacher.apply(teacher_vars, x, ControlFlags(), deterministic=True)
             return out.last_representation.astype(jnp.float32)
 

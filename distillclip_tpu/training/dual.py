@@ -107,6 +107,9 @@ class DualDistillTask:
     # ------------------------------------------------------------------
 
     def init_params(self, rng: Array, sample_tokens: Array, sample_images: Array):
+        from distillclip_tpu.training.train_state import prepare_inputs
+
+        sample_images = prepare_inputs(jnp.asarray(sample_images), self._dtype)
         s_rng, kd_rng = jax.random.split(rng)
         variables = self.student.init(
             {"params": s_rng}, sample_tokens, sample_images, self.flags, deterministic=True
@@ -216,18 +219,20 @@ class DualDistillTask:
     # ------------------------------------------------------------------
 
     def _forward(self, params, teacher_vars, tokens, images, rng, deterministic):
+        from distillclip_tpu.training.train_state import prepare_inputs
+
         compute_params = cast_to_compute(params["student"], self._dtype)
         teacher_vars = jax.tree_util.tree_map(
             lambda x: x.astype(self._dtype)
             if hasattr(x, "dtype") and x.dtype == jnp.float32
             else x,
             teacher_vars,
-        )  # frozen teacher runs in the compute dtype (bf16 MXU rate)
+        )  # no-op when the caller passes teacher_compute_vars (pre-cast bf16)
         rngs = None
         if not deterministic:
             d, p = jax.random.split(rng)
             rngs = {"dropout": d, "droppath": p}
-        imgs = images.astype(self._dtype)
+        imgs = prepare_inputs(images, self._dtype)
         stu_out = self.student.apply(
             {"params": compute_params}, tokens, imgs, self.flags,
             deterministic=deterministic, rngs=rngs,
@@ -264,6 +269,7 @@ class DualDistillTask:
     ):
         from distillclip_tpu.models import l2_normalize
         from distillclip_tpu.models.outputs import CLIPOutput, TextOutput
+        from distillclip_tpu.training.train_state import prepare_inputs
 
         fwd_rng, kd_rng = jax.random.split(rng)
         compute_params = cast_to_compute(params["student"], self._dtype)
@@ -271,7 +277,7 @@ class DualDistillTask:
         if not deterministic:
             d, p = jax.random.split(fwd_rng)
             rngs = {"dropout": d, "droppath": p}
-        imgs = images.astype(self._dtype)
+        imgs = prepare_inputs(images, self._dtype)
         stu_out = self.student.apply(
             {"params": compute_params}, tokens, imgs, self.flags,
             deterministic=deterministic, rngs=rngs,

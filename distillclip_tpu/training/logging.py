@@ -91,3 +91,24 @@ class MetricLogger:
         self._jsonl.close()
         if self._tb is not None:
             self._tb.close()
+
+
+class NullLogger:
+    """No-op logger for non-zero processes in multi-host runs (the
+    reference relied on Lightning's rank-zero-only logging)."""
+
+    def log_hyperparams(self, params):
+        pass
+
+    def log_metrics(self, metrics, step):
+        pass
+
+    def log_heatmap(self, key, logits, step):
+        pass
+
+    @property
+    def summary(self):
+        return {}
+
+    def close(self):
+        pass

@@ -126,6 +126,26 @@ def count_params(params: Params) -> int:
     return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))
 
 
+def prepare_inputs(inputs: Array, dtype) -> Array:
+    """Cast step inputs to the compute dtype; uint8 images are normalized
+    ON DEVICE ((x/255 - mean)/std in f32, then cast) so datasets can ship
+    raw pixels — 4x less host->device transfer than normalized fp32.
+    Arithmetic matches the host pipeline (transforms.to_normalized_array)
+    to f32 rounding.  Integer token tensors pass through unchanged.
+    """
+    if inputs.dtype == jnp.uint8:
+        from distillclip_tpu.data.transforms import IMAGE_MEAN, IMAGE_STD
+
+        x = inputs.astype(jnp.float32) / 255.0
+        x = (x - jnp.asarray(IMAGE_MEAN, jnp.float32)) / jnp.asarray(
+            IMAGE_STD, jnp.float32
+        )
+        return x.astype(dtype)
+    if jnp.issubdtype(inputs.dtype, jnp.floating):
+        return inputs.astype(dtype)
+    return inputs
+
+
 def cast_to_compute(params: Params, dtype=jnp.bfloat16) -> Params:
     """Cast fp32 params to the compute dtype for the forward pass.
 

@@ -91,12 +91,21 @@ class Trainer:
     save_every_n_steps: Optional[int] = None  # preemption-safe autosave
 
     def fit(self, task, datamodule, ckpt_path: Optional[str] = None) -> Dict[str, Any]:
+        from distillclip_tpu.training.logging import NullLogger
         from distillclip_tpu.training.profiling import build_profiler
 
         mesh = create_mesh()
-        logger = MetricLogger(self.result_dir, self.run_name)
+        # multi-host: rank-zero-only side effects (Lightning semantics);
+        # every process computes, process 0 logs and writes checkpoints
+        is_main = jax.process_index() == 0
+        multiproc = jax.process_count() > 1
+        logger = (
+            MetricLogger(self.result_dir, self.run_name) if is_main else NullLogger()
+        )
         ckpts = CheckpointManager(f"{self.result_dir}/{self.run_name}/checkpoints")
-        prof = build_profiler(self.profiler, f"{self.result_dir}/{self.run_name}")
+        prof = build_profiler(
+            self.profiler if is_main else None, f"{self.result_dir}/{self.run_name}"
+        )
 
         datamodule.prepare_data()
         datamodule.setup("fit")
@@ -139,6 +148,15 @@ class Trainer:
             restored = restore_pytree(ckpt_path, {"state": state, "epoch": 0})
             state = restored["state"]
             start_epoch = int(restored["epoch"]) + 1
+        if multiproc:
+            # init/restore produced identical process-local values on every
+            # process (seeded init / shared checkpoint); assemble the global
+            # replicated arrays the multi-process jit requires
+            from distillclip_tpu.parallel.mesh import replicate
+
+            state = replicate(mesh, jax.device_get(state))
+            teacher_cv = replicate(mesh, jax.device_get(teacher_cv))
+            rng = np.asarray(rng)
 
         # parameter summary (reference ModelSummary(max_depth=2) callback,
         # image.yaml:89-92): total vs trainable counts per top-level module
@@ -256,7 +274,8 @@ class Trainer:
                 prof.step()
                 n_items += len(jax.tree_util.tree_leaves(batch)[0])
                 if (
-                    self.save_every_n_steps
+                    is_main
+                    and self.save_every_n_steps
                     and int(state.step) % self.save_every_n_steps == 0
                 ):
                     from distillclip_tpu.training.checkpoints import save_pytree
@@ -340,7 +359,10 @@ class Trainer:
                 "stu_acc_top1": val_logged.get("val_stu_acc/stu_acc_top1", 0.0),
                 "loss": val_logged.get("val_loss/loss", 0.0),
             }
-            ckpts.save_epoch(epoch, {"state": jax.device_get(state), "epoch": epoch}, ckpt_metrics)
+            if is_main:
+                ckpts.save_epoch(
+                    epoch, {"state": jax.device_get(state), "epoch": epoch}, ckpt_metrics
+                )
             best = {**best, **{k: v for k, v in logger.summary.items()}}
 
             # --- early stopping (image.yaml:85-88) ---

@@ -145,9 +145,63 @@ void ResizeCropNormalize(const uint8_t* img, int w, int h, int size,
   }
 }
 
+// resize shorter side to `size`, center crop `size`, keep uint8 RGB.
+// Used by the train path: RandAugment (host Python) needs pre-augment
+// uint8 pixels, so normalization happens after augmentation there.
+void ResizeCropU8(const uint8_t* img, int w, int h, int size, uint8_t* out) {
+  float scale = (w <= h) ? float(size) / w : float(size) / h;
+  float rw = w * scale, rh = h * scale;
+  float offx = (rw - size) / 2.0f, offy = (rh - size) / 2.0f;
+  const bool downscale = scale < 1.0f;
+  const float inv = 1.0f / scale;
+  for (int y = 0; y < size; ++y) {
+    for (int x = 0; x < size; ++x) {
+      float rgb[3];
+      if (downscale) {
+        float sy0 = (y + offy) * inv, sx0 = (x + offx) * inv;
+        SampleArea(img, w, h, sy0, sy0 + inv, sx0, sx0 + inv, rgb);
+      } else {
+        float src_y = (y + offy + 0.5f) * inv - 0.5f;
+        float src_x = (x + offx + 0.5f) * inv - 0.5f;
+        SampleBilinear(img, w, h, src_y, src_x, rgb);
+      }
+      uint8_t* px = out + (size_t(y) * size + x) * 3;
+      for (int c = 0; c < 3; ++c) {
+        float v = rgb[c] + 0.5f;
+        px[c] = uint8_t(v < 0.f ? 0.f : (v > 255.f ? 255.f : v));
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
+
+// Decode one JPEG buffer -> uint8 RGB [size, size, 3] (resize shorter side
+// + center crop, NO normalization). Returns 0 ok.
+int dc_decode_raw_one(const uint8_t* jpeg_bytes, size_t len, int size,
+                      uint8_t* out) {
+  std::vector<uint8_t> rgb;
+  int w, h;
+  if (!DecodeJpeg(jpeg_bytes, len, &rgb, &w, &h)) return 1;
+  ResizeCropU8(rgb.data(), w, h, size, out);
+  return 0;
+}
+
+// Decode one JPEG FILE -> uint8 RGB [size, size, 3]. Returns 0 ok.
+int dc_decode_raw_file(const char* path, int size, uint8_t* out) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return 1;
+  fseek(f, 0, SEEK_END);
+  long len = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(len);
+  bool read_ok = fread(buf.data(), 1, len, f) == size_t(len);
+  fclose(f);
+  if (!read_ok) return 1;
+  return dc_decode_raw_one(buf.data(), len, size, out);
+}
 
 // Decode one JPEG buffer -> normalized [size, size, 3] float32. Returns 0 ok.
 int dc_decode_one(const uint8_t* jpeg_bytes, size_t len, int size,

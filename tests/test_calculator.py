@@ -108,3 +108,30 @@ def test_vit_kd_end_to_end():
     # align linears + mask token + generation convs all present
     names = jax.tree_util.tree_map(lambda x: x.shape, variables["params"])
     assert "align_low_0" in names and "mask_token" in names and "generation_conv1_0" in names
+
+
+def test_smd_multi_model_registered_two_tower():
+    """smd_multi_model is a registered two-tower loss here (the reference
+    exports a broken, never-registered version, _loss.py:57-98)."""
+    rng = np.random.default_rng(4)
+    B = 6
+    vis_s, vis_t = _tower(rng), _tower(rng)
+    txt_s = TextOutput(**{k: v for k, v in vars(_tower(rng)).items()})
+    txt_t = TextOutput(**{k: v for k, v in vars(_tower(rng)).items()})
+    logits = jnp.asarray(rng.normal(size=(B, B)), jnp.float32)
+    stu = CLIPOutput(visual_output=vis_s, text_output=txt_s,
+                     i2t_logits=logits, t2i_logits=logits.T)
+    tea = CLIPOutput(visual_output=vis_t, text_output=txt_t,
+                     i2t_logits=logits, t2i_logits=logits.T)
+
+    calc = LossCalculator(["out_l1", "smd_multi_model"], smd_tau=0.1)
+    total, res = calc.two_tower(stu, tea)
+    expected = F.smd_multi_model(
+        vis_t.last_representation, vis_s.last_representation,
+        txt_s.last_representation, tau=0.1,
+    )
+    np.testing.assert_allclose(res["smd_multi_model"], expected, rtol=1e-6)
+    assert np.isfinite(float(total))
+    # and it is NOT computed on the one-tower path
+    _, one_res = calc.one_tower(vis_s, vis_t)
+    assert "smd_multi_model" not in one_res

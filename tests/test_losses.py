@@ -216,3 +216,46 @@ def test_smd(rng):
         np.asarray(F.smd(jnp.asarray(t_in), jnp.asarray(s_in), tau=tau)),
         expected.numpy(), rtol=5e-4, atol=5e-4,
     )
+
+
+def test_smd_multi_model(rng):
+    """Fixed 3-way SMD (reference smd_multi_model.py is broken/unregistered;
+    oracle re-states the evident intent: smd columns + student image-text
+    positive distance)."""
+    tau = 0.04
+    t_in = rng.normal(size=(16, 32))
+    s_in = rng.normal(size=(16, 32))
+    x_in = rng.normal(size=(16, 32))
+    tt, ts, tx = torch.tensor(_np(t_in)), torch.tensor(_np(s_in)), torch.tensor(_np(x_in))
+
+    n = ts.size(0)
+    inputs = tf.normalize(ts, dim=1)
+    teacher = tf.normalize(tt, dim=1)
+    text = tf.normalize(tx, dim=1)
+    x1 = teacher.pow(2).sum(dim=1, keepdim=True).expand(n, n)
+    dist_t = (x1 + x1.t() - 2 * teacher @ teacher.t()).clamp(min=1e-12).sqrt()
+    x2 = inputs.pow(2).sum(dim=1, keepdim=True).expand(n, n)
+    dist = (x1 + x2.t() - 2 * teacher @ inputs.t()).clamp(min=1e-12).sqrt()
+    text_positive = (inputs - text).pow(2).sum(dim=1).clamp(min=1e-12).sqrt()
+    negative_index = (dist_t > torch.diag(dist).expand(n, n).t()).float()
+    negative = dist * negative_index
+    negative[negative_index == 0] = 1e5
+    positive = dist * (1 - negative_index)
+    dist_an = torch.min(negative, dim=1)
+    dist_ap = torch.max(positive, dim=1)
+    an_t = torch.gather(dist_t, 1, dist_an.indices.unsqueeze(1)).squeeze()
+    ap_t = torch.gather(dist_t, 1, dist_ap.indices.unsqueeze(1)).squeeze()
+    weight_an = torch.clamp_min(an_t - dist_an.values, min=0.0)
+    weight_ap = torch.clamp_min(dist_ap.values - ap_t, min=0.0)
+    logits = torch.stack([
+        weight_an * dist_an.values / tau,
+        weight_ap * dist_ap.values / tau,
+        text_positive / tau,
+    ], 1)
+    expected = torch.nn.CrossEntropyLoss()(logits, torch.zeros(n, dtype=torch.long))
+
+    np.testing.assert_allclose(
+        np.asarray(F.smd_multi_model(
+            jnp.asarray(t_in), jnp.asarray(s_in), jnp.asarray(x_in), tau=tau)),
+        expected.numpy(), rtol=5e-4, atol=5e-4,
+    )

@@ -60,3 +60,55 @@ def test_native_bad_input_falls_back(lib_built, tmp_path):
     out = nl.decode_batch_files([str(png)], size=32)
     # PNG fails native JPEG decode, PIL fallback fills it
     assert np.abs(out).sum() > 0
+
+
+def test_native_raw_decode_uint8(lib_built, jpeg_file):
+    """Raw decode (train path): uint8 RGB, resize/crop matches the
+    normalized pipeline when re-normalized on host."""
+    from distillclip_tpu.data.native_loader import decode_batch_files, decode_raw_file
+    from distillclip_tpu.data.transforms import IMAGE_MEAN, IMAGE_STD
+
+    raw = decode_raw_file(jpeg_file, 224)
+    assert raw is not None and raw.shape == (224, 224, 3) and raw.dtype == np.uint8
+    normalized = decode_batch_files([jpeg_file], 224)[0]
+    renorm = (raw.astype(np.float32) / 255.0 - np.asarray(IMAGE_MEAN, np.float32)) / np.asarray(
+        IMAGE_STD, np.float32
+    )
+    # uint8 quantization: within one pixel step of the float pipeline
+    assert np.abs(renorm - normalized).max() < 1.5 / 255.0 / min(IMAGE_STD)
+
+
+def test_native_raw_decode_missing_file(lib_built, tmp_path):
+    from distillclip_tpu.data.native_loader import decode_raw_file
+
+    assert decode_raw_file(str(tmp_path / "nope.jpg"), 224) is None
+
+
+def test_combine_image_dataset_native_and_uint8(lib_built, tmp_path):
+    """Train items through the native decode + RandAugment path, both
+    normalized-f32 and device-normalize uint8 modes."""
+    from distillclip_tpu.data.component.combine_image_dataset import CombineImageDataset
+
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        arr = rng.integers(0, 255, size=(224, 224, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(str(tmp_path / f"{i:012d}.jpg"), quality=90)
+
+    ds = CombineImageDataset(str(tmp_path), train=True, image_use=["coco"])
+    item = ds[0]
+    assert item["inputs"].shape == (224, 224, 3)
+    assert item["inputs"].dtype == np.float32
+
+    ds8 = CombineImageDataset(
+        str(tmp_path), train=True, image_use=["coco"], device_normalize=True
+    )
+    item8 = ds8[0]
+    assert item8["inputs"].dtype == np.uint8
+    assert item8["inputs"].shape == (224, 224, 3)
+
+    # PIL fallback path also honors device_normalize
+    ds8p = CombineImageDataset(
+        str(tmp_path), train=True, image_use=["coco"],
+        use_native_decode=False, device_normalize=True,
+    )
+    assert ds8p[1]["inputs"].dtype == np.uint8

@@ -446,3 +446,35 @@ def test_trainer_fit_with_cached_teacher_batches(ckpt_path, tmp_path):
     lines = [json.loads(l) for l in open(tmp_path / "cached" / "metrics.jsonl")]
     assert any("train_loss/loss" in d for d in lines)
     assert any("val_loss/loss" in d for d in lines)
+
+
+def test_uint8_device_normalize_matches_float(ckpt_path, mesh):
+    """uint8 inputs + on-device normalization must reproduce the
+    host-normalized float path (4x-less-transfer pipeline)."""
+    from distillclip_tpu.data.transforms import IMAGE_MEAN, IMAGE_STD
+
+    student = RepeatVisionTransformer(
+        img_size=RES, patch_size=PATCH, out_dim=48, embed_dim=32, depth=2,
+        num_heads=4, repeated_times=2, qkv_bias=True,
+    )
+    task = DistillTask(
+        student=student,
+        loss_control_para={"loss_name": ["out_l1", "out_cos"]},
+        teacher_name=ckpt_path, model_type="image",
+        lr=1e-2, warm_steps=1, total_steps=10,
+    )
+    rng = jax.random.PRNGKey(0)
+    u8 = np.random.default_rng(0).integers(0, 256, size=(16, RES, RES, 3)).astype(np.uint8)
+    f32 = ((u8.astype(np.float32) / 255.0) - np.asarray(IMAGE_MEAN, np.float32)) / np.asarray(
+        IMAGE_STD, np.float32
+    )
+
+    state, tx = task.init_state(rng, jnp.asarray(u8[:1]), steps_per_epoch=2)
+    step = task.make_train_step(mesh, tx)
+    _, m_u8 = step(state, task.teacher_compute_vars, shard_batch(mesh, jnp.asarray(u8)), rng)
+
+    state2, tx2 = task.init_state(rng, jnp.asarray(f32[:1]), steps_per_epoch=2)
+    step2 = task.make_train_step(mesh, tx2)
+    _, m_f32 = step2(state2, task.teacher_compute_vars, shard_batch(mesh, jnp.asarray(f32)), rng)
+
+    np.testing.assert_allclose(float(m_u8["loss"]), float(m_f32["loss"]), rtol=1e-3)
