@@ -28,11 +28,23 @@ def _tree_to_numpy(tree):
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Save a pytree via Orbax (async-capable, TPU-host friendly)."""
+    """Save a pytree via Orbax (async-capable, TPU-host friendly).
+
+    Multi-process: orbax ``save`` is a COLLECTIVE (it syncs all processes
+    internally) so EVERY process must call this; filesystem cleanup happens
+    on the primary only, with a barrier so no process enters the save while
+    the old directory is being removed.
+    """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
-    if os.path.exists(path):
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0 and os.path.exists(path):
+            shutil.rmtree(path)
+        multihost_utils.sync_global_devices("distillclip:pre_save:" + path)
+    elif os.path.exists(path):
         shutil.rmtree(path)
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(path, _tree_to_numpy(tree))
@@ -101,18 +113,23 @@ class CheckpointManager:
             json.dump(self._index, f, indent=2)
 
     def save_epoch(self, epoch: int, state_tree: Any, metrics: Dict[str, float]) -> str:
+        """Save an epoch checkpoint + refresh 'last'.
+
+        Multi-process: every process must call this (orbax saves are
+        collectives); index bookkeeping and retention deletes run on the
+        primary only.
+        """
         acc = float(metrics.get(self.acc_metric, 0.0))
         loss = float(metrics.get(self.loss_metric, 0.0))
         name = f"epoch{epoch}-acc{acc:.3f}-loss{loss:.5f}"
         path = os.path.join(self.directory, name)
         save_pytree(path, state_tree)
 
-        # refresh 'last' (save_last: True)
-        last = os.path.join(self.directory, "last")
-        if os.path.exists(last):
-            shutil.rmtree(last)
-        save_pytree(last, state_tree)
+        # refresh 'last' (save_last: True; save_pytree clears the old dir)
+        save_pytree(os.path.join(self.directory, "last"), state_tree)
 
+        if jax.process_index() != 0:
+            return path
         self._index["entries"].append(
             {"name": name, "epoch": epoch, "acc": acc, "loss": loss}
         )

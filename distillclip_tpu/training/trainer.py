@@ -273,9 +273,10 @@ class Trainer:
                     state, metrics = run_train_step(state, batch, rng)
                 prof.step()
                 n_items += len(jax.tree_util.tree_leaves(batch)[0])
+                # (orbax saves are collectives — every process participates;
+                # the primary alone touches the filesystem index)
                 if (
-                    is_main
-                    and self.save_every_n_steps
+                    self.save_every_n_steps
                     and int(state.step) % self.save_every_n_steps == 0
                 ):
                     from distillclip_tpu.training.checkpoints import save_pytree
@@ -359,10 +360,9 @@ class Trainer:
                 "stu_acc_top1": val_logged.get("val_stu_acc/stu_acc_top1", 0.0),
                 "loss": val_logged.get("val_loss/loss", 0.0),
             }
-            if is_main:
-                ckpts.save_epoch(
-                    epoch, {"state": jax.device_get(state), "epoch": epoch}, ckpt_metrics
-                )
+            ckpts.save_epoch(
+                epoch, {"state": jax.device_get(state), "epoch": epoch}, ckpt_metrics
+            )
             best = {**best, **{k: v for k, v in logger.summary.items()}}
 
             # --- early stopping (image.yaml:85-88) ---

@@ -76,3 +76,55 @@ def test_multihost_dryrun_two_processes():
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
     assert "dryrun_multihost(2x2): OK" in proc.stdout, proc.stdout
+
+
+def test_multiprocess_trainer_fit(tmp_path):
+    """Full Trainer.fit across 2 processes x 2 devices: per-process loader
+    shards, global batch assembly, rank-0-only logging/checkpoints."""
+    import socket
+
+    import torch
+
+    from distillclip_tpu.tools.fabricate_teacher import make_clip_state_dict
+
+    ckpt = str(tmp_path / "tiny_mh.pt")
+    torch.save(
+        make_clip_state_dict(
+            vision_width=64, vision_layers=2, patch_size=8, image_resolution=32,
+            text_width=64, text_layers=2, context_length=16, vocab_size=512,
+            embed_dim=48,
+        ),
+        ckpt,
+    )
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "_mh_fit_child.py")
+    procs = []
+    for i in range(2):
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+        env["XLA_FLAGS"] = ("--xla_force_host_platform_device_count=2 "
+                            "--xla_cpu_collective_call_terminate_timeout_seconds=600")
+        env["JAX_PLATFORMS"] = "cpu"
+        env["MH_COORD"] = f"127.0.0.1:{port}"
+        procs.append(subprocess.Popen(
+            [sys.executable, child, str(i), "2", str(tmp_path), ckpt],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=root,
+        ))
+    for i, p in enumerate(procs):
+        out, err = p.communicate(timeout=1200)
+        assert p.returncode == 0, f"child {i}: {err[-3000:]}"
+        assert f"MHFIT {i} devices=4 procs=2 OK" in out, out
+
+    # rank-0-only side effects: one metrics stream, checkpoints exist
+    metrics = tmp_path / "mhfit" / "metrics.jsonl"
+    assert metrics.exists()
+    import json
+
+    lines = [json.loads(l) for l in open(metrics)]
+    train = [d for d in lines if "train_loss/loss" in d]
+    assert len(train) == 4, f"expected 4 logged steps, got {len(train)}"
+    assert (tmp_path / "mhfit" / "checkpoints" / "last").exists()
