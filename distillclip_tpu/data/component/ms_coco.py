@@ -38,6 +38,42 @@ def load_coco_index(annotation_file: str):
     return index
 
 
+def _caption_rep_cache(cache_dir, teacher_name):
+    from pathlib import Path
+
+    return Path(cache_dir) / (
+        f'coco-caption-reps-train2017-{teacher_name.replace("/", "-")}.npz'
+    )
+
+
+def prepare(prepare_args: dict) -> None:
+    """Optional: pre-encode the train2017 FIRST captions with the frozen
+    teacher text tower (``cache_caption_reps: true``).  Stage-3 captions
+    are fixed token tensors, so the teacher text tower's outputs are
+    per-sample constants; with the cache the joint train step drops that
+    tower entirely (DualDistillTask cached_text_teacher — valid for no-tap
+    loss configs such as the shipped l_clip.yaml)."""
+    if not prepare_args.get("cache_caption_reps"):
+        return
+    from distillclip_tpu.data.component.utils import encode_texts
+
+    cache_dir = prepare_args.get("cache_dir", "./.cache")
+    teacher_name = prepare_args["teacher_name"]
+    os.makedirs(cache_dir, exist_ok=True)
+    cache = _caption_rep_cache(cache_dir, teacher_name)
+    if cache.exists() and not prepare_args.get("overwrite", False):
+        return
+    ann = os.path.join(prepare_args["annotation_path"], "captions_train2017.json")
+    index = load_coco_index(ann)
+    captions = [caps[0] for _, caps in index]
+    reps = encode_texts(
+        captions, teacher_name,
+        download_root=prepare_args.get("download_root"),
+        bpe_path=prepare_args.get("bpe_path"),
+    )
+    np.savez(cache, caption_rep=reps)
+
+
 class COCODataset(MapDataset):
     def __init__(
         self,
@@ -49,6 +85,9 @@ class COCODataset(MapDataset):
         context_length: int = 77,
         bpe_path: Optional[str] = None,
         rand_augment_ops: int = 4,
+        cached_text_teacher_reps: bool = False,
+        cache_dir: str = "./.cache",
+        teacher_name: str = "ViT-B/32",
     ):
         if need_type not in ("all", "text", "image"):
             raise ValueError(
@@ -68,6 +107,21 @@ class COCODataset(MapDataset):
             if train
             else eval_image_transform(image_size)
         )
+        self.caption_rep = None
+        if cached_text_teacher_reps and train:
+            cache = _caption_rep_cache(cache_dir, teacher_name)
+            if not cache.exists():
+                raise FileNotFoundError(
+                    f"{cache} not found: run prepare with cache_caption_reps="
+                    "true to pre-encode the train captions"
+                )
+            self.caption_rep = np.load(cache)["caption_rep"]
+            if len(self.caption_rep) != len(self.index):
+                raise ValueError(
+                    f"caption-rep cache rows ({len(self.caption_rep)}) != "
+                    f"dataset size ({len(self.index)}); re-run prepare with "
+                    "overwrite=true"
+                )
 
     def __len__(self):
         return len(self.index)
@@ -83,4 +137,7 @@ class COCODataset(MapDataset):
         image = self.transform(img)
         if self.need_type == "image" and self.train:
             return {"images": image}
-        return {"images": image, "tokens": tokens}
+        item = {"images": image, "tokens": tokens}
+        if self.caption_rep is not None:
+            item["tea_rep"] = self.caption_rep[idx]
+        return item

@@ -107,9 +107,15 @@ class DistillTask:
 
         sample_inputs = prepare_inputs(jnp.asarray(sample_inputs), self._dtype)
         s_rng, kd_rng = jax.random.split(rng)
-        variables = self.student.init(
-            {"params": s_rng}, sample_inputs, self.flags, deterministic=True
-        )
+        # init under jit: ONE compiled program instead of hundreds of eager
+        # ops (each a network round-trip on tunneled backends, and an async
+        # -dispatch flood that can starve in-flight collectives on 1-core
+        # CPU hosts)
+        variables = jax.jit(
+            lambda r, x: self.student.init(
+                {"params": r}, x, self.flags, deterministic=True
+            )
+        )(s_rng, sample_inputs)
         params = {"student": variables["params"]}
         if self.loss_control.has_params:
             stu_out = self.student.apply(variables, sample_inputs, self.flags)
@@ -433,9 +439,13 @@ class DistillTask:
     def make_eval_step(self, mesh: Mesh) -> Callable:
         """Validation step (distil_model.py:104-129): loss + representations.
 
-        Returns replicated (all-gathered) student/teacher/contrary reps —
-        the jit output sharding does the work of the reference's explicit
-        DDP ``self.all_gather`` (distil_model.py:122-126).
+        Representations come back DATA-SHARDED; the epoch-end host
+        ``device_get`` assembles the full corpus (the reference's explicit
+        DDP ``self.all_gather``, distil_model.py:122-126, materialized on
+        host instead).  A replicated out_sharding would insert a device
+        all-gather whose result is immediately fetched anyway — wasted ICI
+        bytes, and on 1-core CPU test hosts its 8-way rendezvous is the
+        suite's main deadlock source.
         """
         repl = replicated(mesh)
         data = batch_sharding(mesh)
@@ -467,5 +477,5 @@ class DistillTask:
         return jax.jit(
             step,
             in_shardings=(repl, repl, data, data),
-            out_shardings=(repl, repl),
+            out_shardings=(repl, data),
         )

@@ -111,9 +111,12 @@ class DualDistillTask:
 
         sample_images = prepare_inputs(jnp.asarray(sample_images), self._dtype)
         s_rng, kd_rng = jax.random.split(rng)
-        variables = self.student.init(
-            {"params": s_rng}, sample_tokens, sample_images, self.flags, deterministic=True
-        )
+        # init under jit (see DistillTask.init_params)
+        variables = jax.jit(
+            lambda r, t, x: self.student.init(
+                {"params": r}, t, x, self.flags, deterministic=True
+            )
+        )(s_rng, sample_tokens, sample_images)
         params = {"student": variables["params"]}
         if self.load_path:
             params["student"] = self._load_stage_checkpoints(params["student"])
@@ -386,7 +389,9 @@ class DualDistillTask:
 
     def make_eval_step(self, mesh: Mesh) -> Callable:
         """Validation (dual_distill_model.py:131-150): loss + per-step acc on
-        the GLOBAL batch + replicated reps for epoch-end retrieval."""
+        the GLOBAL batch + data-sharded reps for epoch-end retrieval (the
+        host device_get assembles the corpus; see
+        DistillTask.make_eval_step for why not a device all-gather)."""
         repl = replicated(mesh)
         data = batch_sharding(mesh)
 
@@ -420,5 +425,5 @@ class DualDistillTask:
         return jax.jit(
             step,
             in_shardings=(repl, repl, data, data),
-            out_shardings=(repl, repl),
+            out_shardings=(repl, data),
         )

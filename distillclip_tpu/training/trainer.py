@@ -107,7 +107,15 @@ class Trainer:
             self.profiler if is_main else None, f"{self.result_dir}/{self.run_name}"
         )
 
-        datamodule.prepare_data()
+        # prepare_data is rank-0 one-time work (teacher pre-encoding caches;
+        # Lightning semantics, main_datamodule.py:39-41); others wait for
+        # the caches before setup reads them
+        if is_main:
+            datamodule.prepare_data()
+        if multiproc:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("distillclip:prepare_data")
         datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
         val_loader = datamodule.val_dataloader()
@@ -218,6 +226,16 @@ class Trainer:
         train_step = build_train_step(tx)
         eval_step = task.make_eval_step(mesh)
         unfrozen = False
+
+        def fetch_reps(tree):
+            # eval reps come back data-sharded (no wasted device all-gather);
+            # single-host: device_get reads every shard; multi-host: gather
+            # across processes so epoch-end retrieval sees the full corpus
+            if multiproc:
+                from jax.experimental import multihost_utils
+
+                return multihost_utils.process_allgather(tree, tiled=True)
+            return jax.device_get(tree)
 
         def current_lr(step: int, epoch: int) -> float:
             # read the schedule the optimizer actually applies (set by
@@ -339,7 +357,7 @@ class Trainer:
                     )
                 for k, v in metrics.items():
                     val_metrics_acc.setdefault(k, []).append(float(v))
-                reps_list.append(jax.device_get(reps))
+                reps_list.append(fetch_reps(reps))
             if not reps_list:
                 continue
             val_logged = {
@@ -386,7 +404,12 @@ class Trainer:
 
     def validate(self, task, datamodule, state) -> Dict[str, float]:
         mesh = create_mesh()
-        datamodule.prepare_data()
+        if jax.process_index() == 0:
+            datamodule.prepare_data()
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices("distillclip:prepare_data")
         datamodule.setup("fit")
         val_loader = datamodule.val_dataloader()
         eval_step = task.make_eval_step(mesh)
@@ -404,7 +427,12 @@ class Trainer:
                 metrics, reps = eval_step(state, teacher_cv, batch["inputs"], batch["contrary"])
             for k, v in metrics.items():
                 val_metrics_acc.setdefault(k, []).append(float(v))
-            reps_list.append(jax.device_get(reps))
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                reps_list.append(multihost_utils.process_allgather(reps, tiled=True))
+            else:
+                reps_list.append(jax.device_get(reps))
         out = {k: float(np.mean(v)) for k, v in val_metrics_acc.items()}
         if reps_list:  # empty val loader -> per-step metrics only
             epoch_metrics, tea_metrics, _ = _epoch_end_retrieval(reps_list, dual)

@@ -13,6 +13,7 @@ result_dir, ckpt = sys.argv[3], sys.argv[4]
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 

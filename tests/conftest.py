@@ -42,6 +42,16 @@ import jax  # noqa: E402  (already imported by sitecustomize; config still mutab
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# Synchronous CPU dispatch: with async dispatch, a computation whose outputs
+# were garbage-collected can still be EXECUTING when the next test starts
+# (the drain fixture below only sees live arrays); on this 1-core host its
+# 8-way collective rendezvous then starves against newly dispatched work and
+# hard-aborts at the termination timeout (observed twice as a suite SIGABRT
+# mid-run).  Synchronous dispatch removes the overlap entirely.
+try:
+    jax.config.update("jax_cpu_enable_async_dispatch", False)
+except Exception:
+    pass
 
 
 import pytest  # noqa: E402

@@ -144,3 +144,59 @@ def test_metric_logger_heatmap(tmp_path):
     files = os.listdir(logger.log_dir)
     assert any(f.startswith("heatmap_val_stu_3") for f in files)
     logger.close()
+
+
+def test_coco_dataset_and_cached_caption_reps(tmp_path):
+    """COCODataset items (images+tokens) and the stage-3 caption-rep cache
+    path that feeds DualDistillTask's cached_text_teacher step."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from distillclip_tpu.data.component import ms_coco
+
+    root = tmp_path / "mscoco"
+    (root / "train2017").mkdir(parents=True)
+    (root / "annotations").mkdir()
+    images, annotations = [], []
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        name = f"{i:012d}.jpg"
+        Image.fromarray(
+            rng.integers(0, 255, size=(64, 80, 3), dtype=np.uint8)
+        ).save(str(root / "train2017" / name))
+        images.append({"id": i, "file_name": name})
+        annotations.append({"id": 100 + i, "image_id": i, "caption": f"a photo {i}"})
+    ann_path = root / "annotations" / "captions_train2017.json"
+    with open(ann_path, "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+
+    ds = ms_coco.COCODataset(
+        root_path=str(root), annotation_path=str(root / "annotations"),
+        train=True, image_size=32,
+    )
+    item = ds[1]
+    assert item["images"].shape == (32, 32, 3) and item["tokens"].shape == (77,)
+    assert "tea_rep" not in item
+
+    # fabricate a caption-rep cache and read it through the dataset
+    reps = rng.normal(size=(4, 48)).astype(np.float32)
+    cache = ms_coco._caption_rep_cache(tmp_path, "T")
+    np.savez(cache, caption_rep=reps)
+    ds_cached = ms_coco.COCODataset(
+        root_path=str(root), annotation_path=str(root / "annotations"),
+        train=True, image_size=32, cached_text_teacher_reps=True,
+        cache_dir=str(tmp_path), teacher_name="T",
+    )
+    np.testing.assert_array_equal(ds_cached[2]["tea_rep"], reps[2])
+    # row mismatch is an error
+    np.savez(ms_coco._caption_rep_cache(tmp_path, "T2"), caption_rep=reps[:2])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="re-run prepare"):
+        ms_coco.COCODataset(
+            root_path=str(root), annotation_path=str(root / "annotations"),
+            train=True, cached_text_teacher_reps=True,
+            cache_dir=str(tmp_path), teacher_name="T2",
+        )

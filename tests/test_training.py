@@ -197,6 +197,7 @@ def test_dual_task_with_checkpoint_composition(ckpt_path, mesh, tmp_path):
     eval_step = task.make_eval_step(mesh)
     m, reps = eval_step(state, task.teacher_vars, shard_batch(mesh, toks), shard_batch(mesh, imgs))
     assert reps["stu_image_outs"].shape == (16, 48)
+    jax.device_get((m, reps))  # fence: don't leave the 8-way eval in flight
 
 
 def test_freeze_mask_paths():
