@@ -203,10 +203,78 @@ def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
     }
 
 
+def run_serve(quick=False, buckets=(256, 1024), iters=10, warmup=2):
+    """Serving throughput: L-CLIPScore pairs scored/sec/chip per bucket.
+
+    L-CLIPScore IS the product (reference Readme.md:1-2, clip_model.py:45-49
+    only_last_rep fast path); this measures the student-tower scorer —
+    encode image + encode caption tokens + cosine — at the static batch
+    buckets the server pads to.  Host tokenization is excluded (it
+    pipelines on the serving host; `score_tokens` is the device leg).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from distillclip_tpu.models import RepeatTextTransformer, RepeatVisionTransformer
+    from distillclip_tpu.models.outputs import ControlFlags
+    from distillclip_tpu.serving.lclip_score import LCLIPScorer
+
+    if quick:
+        img_size, patch, embed, depth, heads = 32, 8, 64, 2, 4
+        txt_embed, txt_depth, out_dim = 64, 2, 48
+        buckets = tuple(min(b, 64) for b in buckets)
+    else:
+        img_size, patch, embed, depth, heads = 224, 32, 768, 6, 24
+        txt_embed, txt_depth, out_dim = 768, 4, 512
+
+    image_student = RepeatVisionTransformer(
+        img_size=img_size, patch_size=patch, out_dim=out_dim, embed_dim=embed,
+        depth=depth, num_heads=heads, repeated_times=2, qkv_bias=True,
+        use_transform=True,
+    )
+    text_student = RepeatTextTransformer(
+        vocab_size=49408, context_length=77, out_dim=out_dim, embed_dim=txt_embed,
+        depth=txt_depth, num_heads=max(4, heads // 2), repeated_times=2,
+        use_transform=True,
+    )
+    rng = jax.random.PRNGKey(0)
+    img_vars = jax.jit(image_student.init, static_argnums=(2,))(
+        rng, jnp.zeros((1, img_size, img_size, 3), jnp.float32), ControlFlags()
+    )
+    txt_vars = jax.jit(text_student.init, static_argnums=(2,))(
+        rng, jnp.zeros((1, 77), jnp.int32), ControlFlags()
+    )
+    scorer = LCLIPScorer(
+        image_module=image_student, image_vars=img_vars,
+        text_module=text_student, text_vars=txt_vars,
+        tokenizer=None, image_size=img_size,
+    )
+
+    out = {}
+    for b in buckets:
+        images = np.random.default_rng(0).normal(size=(b, img_size, img_size, 3)).astype(np.float32)
+        tokens = np.random.default_rng(1).integers(1, 49407, size=(b, 77)).astype(np.int32)
+        tokens[:, -1] = 49407
+        for _ in range(warmup):
+            scores = scorer.score_tokens(images, tokens)  # np readback = fence
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            scores = scorer.score_tokens(images, tokens)
+        dt = time.perf_counter() - t0
+        assert scores.shape == (b,)
+        out[f"bucket_{b}"] = {
+            "pairs_per_s_per_chip": round(b * iters / dt, 2),
+            "latency_ms": round(dt / iters * 1000, 2),
+        }
+    return out
+
+
 METRIC_NAMES = {
     "l_clip": "image-text pairs/sec/chip (L-CLIP distill)",
     "image": "images/sec/chip (stage-1 distill)",
     "text": "captions/sec/chip (stage-2 distill)",
+    "serve": "pairs scored/sec/chip (L-CLIPScore serving)",
 }
 
 # per-stage sub-benches reported under detail.stages on the default run;
@@ -228,6 +296,9 @@ def main():
     parser.add_argument("--stage", choices=["l_clip", "image", "text"], default=None,
                         help="measure ONE stage (default: headline l_clip + "
                              "per-stage sub-benches in detail.stages)")
+    parser.add_argument("--serve", action="store_true",
+                        help="measure ONLY the L-CLIPScore serving path "
+                             "(student scorer, buckets 256/1024)")
     parser.add_argument("--primary-only", action="store_true",
                         help="skip the per-stage sub-benches")
     parser.add_argument(
@@ -254,6 +325,18 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
+
+    if args.serve:
+        serving = run_serve(quick=args.quick)
+        headline = max(v["pairs_per_s_per_chip"] for v in serving.values())
+        print(json.dumps({
+            "metric": METRIC_NAMES["serve"],
+            "value": headline,
+            "unit": "pairs/s/chip",
+            "vs_baseline": round(headline / NORTH_STAR_PAIRS_PER_SEC, 4),
+            "detail": {"serving": serving, "quick": args.quick},
+        }))
+        return
 
     primary_stage = args.stage or "l_clip"
     # Headline default: stage-3 with the frozen text teacher's reps cached —
@@ -285,6 +368,10 @@ def main():
             except Exception as e:  # sub-benches must never sink the headline
                 stages[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
         detail["stages"] = stages
+        try:  # serving numbers ride along in the default run (VERDICT r2 #6)
+            detail["serving"] = run_serve(quick=args.quick)
+        except Exception as e:
+            detail["serving"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     print(json.dumps({
         "metric": METRIC_NAMES[primary_stage],

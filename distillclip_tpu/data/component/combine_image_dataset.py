@@ -131,7 +131,17 @@ class CombineImageDataset(MapDataset):
                 if self.device_normalize:
                     return {"inputs": np.asarray(augmented.convert("RGB"), np.uint8)}
                 return {"inputs": to_normalized_array(augmented)}
-            # fall through to PIL on non-JPEG / decode failure
+            # fall through to PIL on non-JPEG / decode failure.  Warn ONCE:
+            # the native path resizes bilinear/area while PIL uses bicubic,
+            # so a missing libdcloader.so would otherwise silently change
+            # the train-time pixel statistics (advisor r2 finding).
+            if not getattr(CombineImageDataset, "_warned_pil_fallback", False):
+                CombineImageDataset._warned_pil_fallback = True
+                log.warning(
+                    "native decode unavailable/failed for %s; falling back to "
+                    "PIL (bicubic resample — pixel statistics differ slightly "
+                    "from the native bilinear/area path)", path,
+                )
         img = Image.open(path).convert("RGB")
         if self.train and self.device_normalize:
             from distillclip_tpu.data.transforms import center_crop, resize_shorter

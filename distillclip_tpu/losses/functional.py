@@ -255,6 +255,13 @@ def smd_multi_model(
     hard-codes ``.cuda()`` (:64).  Implemented here with the evident
     intent — the third logit column is the student image-to-text positive
     distance ``||img_i - txt_i||`` — and REGISTERED as a two-tower loss.
+
+    Documented deviation (advisor r2): under ``normalized=True`` the text
+    reps are L2-normalized alongside image/teacher so all three logit
+    columns share a scale; the reference's intended form
+    (smd_multi_model.py:15-17) normalizes only image/teacher inputs, which
+    would leave the text-positive column unnormalized.  With ``normalized=
+    False`` nothing is normalized, matching the reference exactly.
     """
     t, s, x = _f32(tea_inputs), _f32(stu_inputs), _f32(text_inputs)
     n = s.shape[0]

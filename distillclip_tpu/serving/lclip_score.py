@@ -44,6 +44,12 @@ class LCLIPScorer:
     compute_dtype: Any = jnp.bfloat16
 
     def __post_init__(self):
+        # commit tower weights to device ONCE: serving calls must transfer
+        # only the request tensors, never the ~hundreds of weight buffers
+        # (each host buffer would otherwise be re-uploaded per jitted call —
+        # measured 100+ s/call through a remote-backend tunnel)
+        self.image_vars = jax.device_put(self.image_vars)
+        self.text_vars = jax.device_put(self.text_vars)
         flags = ControlFlags()
 
         @jax.jit
@@ -147,8 +153,9 @@ class LCLIPScorer:
         feats = self._encode_image(self.image_vars, jnp.asarray(images))
         return np.asarray(feats)[:n]
 
-    def encode_captions(self, captions: Sequence[str]) -> np.ndarray:
-        tokens = self.tokenizer.tokenize(list(captions), context_length=self.context_length)
+    def encode_tokens(self, tokens: np.ndarray) -> np.ndarray:
+        """Encode pre-tokenized captions (server fast path: tokenization is
+        host work the caller can pipeline; the device leg starts here)."""
         n = len(tokens)
         b = _bucket(n)
         if b != n:
@@ -156,10 +163,21 @@ class LCLIPScorer:
         feats = self._encode_text(self.text_vars, jnp.asarray(tokens))
         return np.asarray(feats)[:n]
 
+    def encode_captions(self, captions: Sequence[str]) -> np.ndarray:
+        return self.encode_tokens(
+            self.tokenizer.tokenize(list(captions), context_length=self.context_length)
+        )
+
     def score_arrays(self, images: np.ndarray, captions: Sequence[str]) -> np.ndarray:
         """Per-pair cosine L-CLIPScore for aligned (image, caption) lists."""
         img_f = self.encode_images(images)
         txt_f = self.encode_captions(captions)
+        return np.sum(img_f * txt_f, axis=1)
+
+    def score_tokens(self, images: np.ndarray, tokens: np.ndarray) -> np.ndarray:
+        """Per-pair cosine for preprocessed images + pre-tokenized captions."""
+        img_f = self.encode_images(images)
+        txt_f = self.encode_tokens(tokens)
         return np.sum(img_f * txt_f, axis=1)
 
     def score_files(self, image_paths: Sequence[str], captions: Sequence[str]) -> np.ndarray:

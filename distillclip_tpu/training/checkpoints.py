@@ -117,11 +117,20 @@ class CheckpointManager:
 
         Multi-process: every process must call this (orbax saves are
         collectives); index bookkeeping and retention deletes run on the
-        primary only.
+        primary only, assuming a SHARED filesystem (the standard TPU-pod
+        setup).  Non-primary ranks re-read ``index.json`` in :meth:`best` /
+        the index accessors so they see the primary's bookkeeping.
+
+        A metric that is ``None``/absent is recorded as ``None`` and simply
+        does not compete for that metric's top-k slots (no 0.0 substitute).
         """
-        acc = float(metrics.get(self.acc_metric, 0.0))
-        loss = float(metrics.get(self.loss_metric, 0.0))
-        name = f"epoch{epoch}-acc{acc:.3f}-loss{loss:.5f}"
+        acc = metrics.get(self.acc_metric)
+        loss = metrics.get(self.loss_metric)
+        acc = float(acc) if acc is not None else None
+        loss = float(loss) if loss is not None else None
+        acc_s = f"{acc:.3f}" if acc is not None else "na"
+        loss_s = f"{loss:.5f}" if loss is not None else "na"
+        name = f"epoch{epoch}-acc{acc_s}-loss{loss_s}"
         path = os.path.join(self.directory, name)
         save_pytree(path, state_tree)
 
@@ -138,10 +147,16 @@ class CheckpointManager:
         return path
 
     def _gc(self):
-        """Keep union of top-k by acc (max) and top-k by loss (min)."""
+        """Keep union of top-k by acc (max) and top-k by loss (min).
+
+        Entries with a ``None`` metric don't compete for that metric's
+        slots; an entry with neither metric survives only as 'last'.
+        """
         entries = self._index["entries"]
-        by_acc = sorted(entries, key=lambda e: -e["acc"])[: self.top_k]
-        by_loss = sorted(entries, key=lambda e: e["loss"])[: self.top_k]
+        with_acc = [e for e in entries if e["acc"] is not None]
+        with_loss = [e for e in entries if e["loss"] is not None]
+        by_acc = sorted(with_acc, key=lambda e: -e["acc"])[: self.top_k]
+        by_loss = sorted(with_loss, key=lambda e: e["loss"])[: self.top_k]
         keep = {e["name"] for e in by_acc} | {e["name"] for e in by_loss}
         for e in list(entries):
             if e["name"] not in keep:
@@ -150,15 +165,26 @@ class CheckpointManager:
                     shutil.rmtree(p)
                 entries.remove(e)
 
+    def _refresh_index(self):
+        """Re-read index.json: on shared filesystems, non-primary ranks (and
+        fresh processes) pick up the primary's bookkeeping (advisor r2)."""
+        if os.path.exists(self._index_path):
+            try:
+                with open(self._index_path) as f:
+                    self._index = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                pass  # keep in-memory view if a concurrent write races us
+
     def best(self, metric: str = "acc") -> Optional[str]:
-        entries = self._index["entries"]
-        if not entries:
-            return None
+        if jax.process_index() != 0:
+            self._refresh_index()
         if metric == "acc":
-            e = max(entries, key=lambda e: e["acc"])
+            ranked = [e for e in self._index["entries"] if e["acc"] is not None]
+            e = max(ranked, key=lambda e: e["acc"], default=None)
         else:
-            e = min(entries, key=lambda e: e["loss"])
-        return os.path.join(self.directory, e["name"])
+            ranked = [e for e in self._index["entries"] if e["loss"] is not None]
+            e = min(ranked, key=lambda e: e["loss"], default=None)
+        return os.path.join(self.directory, e["name"]) if e else None
 
     def last(self) -> Optional[str]:
         p = os.path.join(self.directory, "last")

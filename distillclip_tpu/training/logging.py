@@ -1,11 +1,20 @@
-"""Metric logging: console + JSONL + optional TensorBoard (tensorboardX).
+"""Metric logging: pluggable writers (JSONL, TensorBoard, offline W&B).
 
 Replaces the reference's W&B/TensorBoard Lightning loggers
-(distil_model.py:70-79, image.yaml:74-82).  W&B is not available in this
-environment; the JSONL stream is the machine-readable primary and
-TensorBoard is attached when tensorboardX is importable.  Headline metrics
-track running maxima like the reference's ``wandb.define_metric
-(summary='max')``.
+(distil_model.py:70-79, image.yaml:74-82).  ``MetricLogger`` fans every
+record out to a list of writer backends:
+
+* :class:`JsonlWriter` — machine-readable primary, always on;
+* :class:`TensorBoardWriter` — attached when tensorboardX is importable;
+* :class:`WandbWriter` — the reference's W&B surface in ``offline`` mode
+  (zero-egress safe: the run is written to ``wandb/`` files for later
+  ``wandb sync``).  Attached when the wandb package is importable and
+  ``DISTILLCLIP_WANDB`` is set (``offline``/``1``; ``online`` only if the
+  deployment actually has egress).  Mirrors ``wandb.define_metric(...,
+  summary='max')`` for the headline accuracy metrics.
+
+Headline metrics also track running maxima in-process like the reference's
+``wandb.define_metric(summary='max')`` so ``Trainer.fit`` can return them.
 """
 
 from __future__ import annotations
@@ -13,7 +22,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Dict, Optional
+from typing import Any, Dict, List, Optional
 
 MAX_SUMMARY_KEYS = (
     "val_stu_acc/stu_acc_top1",
@@ -22,26 +31,134 @@ MAX_SUMMARY_KEYS = (
 )
 
 
+class JsonlWriter:
+    """Append-only metrics.jsonl + hparams.json — the primary record."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self._jsonl = open(os.path.join(log_dir, "metrics.jsonl"), "a")
+
+    def log_hyperparams(self, params: Dict[str, Any]):
+        with open(os.path.join(self.log_dir, "hparams.json"), "w") as f:
+            json.dump(params, f, indent=2, default=str)
+
+    def log_metrics(self, record: Dict[str, float], step: int):
+        self._jsonl.write(json.dumps(record) + "\n")
+        self._jsonl.flush()
+
+    def log_image(self, key: str, path: str, step: int):
+        pass  # images already live next to the jsonl
+
+    def close(self):
+        self._jsonl.close()
+
+
+class TensorBoardWriter:
+    """tensorboardX scalars (reference TensorBoardLogger, image.yaml:80-82)."""
+
+    def __init__(self, log_dir: str):
+        from tensorboardX import SummaryWriter  # ImportError gates attach
+
+        self._tb = SummaryWriter(logdir=os.path.join(log_dir, "tb"))
+
+    def log_hyperparams(self, params: Dict[str, Any]):
+        pass
+
+    def log_metrics(self, record: Dict[str, float], step: int):
+        for k, v in record.items():
+            if k in ("step", "time"):
+                continue
+            self._tb.add_scalar(k, v, step)
+
+    def log_image(self, key: str, path: str, step: int):
+        pass
+
+    def close(self):
+        self._tb.close()
+
+
+class WandbWriter:
+    """W&B writer, offline by default (reference distil_model.py:70-79).
+
+    ``mode='offline'`` writes the full W&B run format to local files — the
+    zero-egress equivalent of the reference's logger; ``wandb sync`` uploads
+    later.  ``define_metric(summary='max')`` is applied to the headline
+    accuracy metrics exactly as the reference does.
+    """
+
+    def __init__(self, log_dir: str, name: str = "run", mode: str = "offline"):
+        import wandb  # ImportError gates attach
+
+        self._wandb = wandb
+        self._run = wandb.init(
+            project=os.environ.get("DISTILLCLIP_WANDB_PROJECT", "distillclip_tpu"),
+            name=name,
+            dir=log_dir,
+            mode=mode,
+        )
+        for key in MAX_SUMMARY_KEYS:
+            try:
+                self._run.define_metric(key, summary="max")
+            except Exception:
+                pass  # older wandb without define_metric
+
+    def log_hyperparams(self, params: Dict[str, Any]):
+        self._run.config.update(
+            {k: str(v) if not isinstance(v, (int, float, bool, str)) else v
+             for k, v in params.items()},
+            allow_val_change=True,
+        )
+
+    def log_metrics(self, record: Dict[str, float], step: int):
+        payload = {k: v for k, v in record.items() if k not in ("step", "time")}
+        self._run.log(payload, step=step)
+
+    def log_image(self, key: str, path: str, step: int):
+        self._run.log({key: self._wandb.Image(path)}, step=step)
+
+    def close(self):
+        self._run.finish()
+
+
+def default_writers(log_dir: str, name: str = "run",
+                    use_tensorboard: bool = True) -> List[Any]:
+    """JSONL always; TensorBoard / offline-W&B when importable+enabled."""
+    writers: List[Any] = [JsonlWriter(log_dir)]
+    if use_tensorboard:
+        try:
+            writers.append(TensorBoardWriter(log_dir))
+        except ImportError:
+            pass
+    wandb_mode = os.environ.get("DISTILLCLIP_WANDB", "").strip().lower()
+    if wandb_mode and wandb_mode != "0":
+        try:
+            writers.append(
+                WandbWriter(
+                    log_dir, name,
+                    mode="offline" if wandb_mode in ("1", "true", "offline") else wandb_mode,
+                )
+            )
+        except ImportError:
+            pass
+    return writers
+
+
 class MetricLogger:
-    def __init__(self, log_dir: str = "./result", name: str = "run", use_tensorboard: bool = True):
+    def __init__(self, log_dir: str = "./result", name: str = "run",
+                 use_tensorboard: bool = True,
+                 writers: Optional[List[Any]] = None):
         self.log_dir = os.path.join(log_dir, name)
         os.makedirs(self.log_dir, exist_ok=True)
-        self._jsonl = open(os.path.join(self.log_dir, "metrics.jsonl"), "a")
-        self._tb = None
-        if use_tensorboard:
-            try:
-                from tensorboardX import SummaryWriter
-
-                self._tb = SummaryWriter(logdir=os.path.join(self.log_dir, "tb"))
-            except ImportError:
-                pass
+        self.writers = (
+            writers if writers is not None
+            else default_writers(self.log_dir, name, use_tensorboard)
+        )
         self._summary_max: Dict[str, float] = {}
         self._t0 = time.time()
 
     def log_hyperparams(self, params: Dict[str, Any]):
-        path = os.path.join(self.log_dir, "hparams.json")
-        with open(path, "w") as f:
-            json.dump(params, f, indent=2, default=str)
+        for w in self.writers:
+            w.log_hyperparams(params)
 
     def log_metrics(self, metrics: Dict[str, float], step: int):
         record = {"step": int(step), "time": round(time.time() - self._t0, 3)}
@@ -50,10 +167,8 @@ class MetricLogger:
             record[k] = v
             if k in MAX_SUMMARY_KEYS:
                 self._summary_max[k] = max(self._summary_max.get(k, -1e30), v)
-            if self._tb is not None:
-                self._tb.add_scalar(k, v, step)
-        self._jsonl.write(json.dumps(record) + "\n")
-        self._jsonl.flush()
+        for w in self.writers:
+            w.log_metrics(record, int(step))
 
     def log_heatmap(self, key: str, logits, step: int):
         """Persist raw + softmaxed logits heatmaps (reference log_heatmap,
@@ -63,6 +178,7 @@ class MetricLogger:
         logits = np.asarray(logits, dtype=np.float32)
         e = np.exp(logits - logits.max(axis=1, keepdims=True))
         softmax = e / e.sum(axis=1, keepdims=True)
+        path = None
         try:
             import matplotlib
 
@@ -82,15 +198,17 @@ class MetricLogger:
                 os.path.join(self.log_dir, f"heatmap_{key.replace('/', '_')}_{step}.npz"),
                 logits=logits, softmax=softmax,
             )
+        if path is not None:
+            for w in self.writers:
+                w.log_image(key, path, int(step))
 
     @property
     def summary(self) -> Dict[str, float]:
         return dict(self._summary_max)
 
     def close(self):
-        self._jsonl.close()
-        if self._tb is not None:
-            self._tb.close()
+        for w in self.writers:
+            w.close()
 
 
 class NullLogger:

@@ -196,11 +196,25 @@ int dc_decode_raw_file(const char* path, int size, uint8_t* out) {
   fseek(f, 0, SEEK_END);
   long len = ftell(f);
   fseek(f, 0, SEEK_SET);
-  std::vector<uint8_t> buf(len);
-  bool read_ok = fread(buf.data(), 1, len, f) == size_t(len);
-  fclose(f);
-  if (!read_ok) return 1;
-  return dc_decode_raw_one(buf.data(), len, size, out);
+  // ftell failure (-1) would convert to a huge size_t below and throw; a
+  // C++ exception must never cross the extern "C"/ctypes boundary (it
+  // would terminate the loader process instead of hitting the PIL
+  // fallback), so both the length check and the body are guarded.
+  if (len <= 0) {
+    fclose(f);
+    return 1;
+  }
+  try {
+    std::vector<uint8_t> buf(len);
+    bool read_ok = fread(buf.data(), 1, len, f) == size_t(len);
+    fclose(f);
+    f = nullptr;
+    if (!read_ok) return 1;
+    return dc_decode_raw_one(buf.data(), len, size, out);
+  } catch (...) {
+    if (f) fclose(f);
+    return 1;
+  }
 }
 
 // Decode one JPEG buffer -> normalized [size, size, 3] float32. Returns 0 ok.
