@@ -103,6 +103,10 @@ def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
         vocab_size=49408, context_length=77, out_dim=out_dim, embed_dim=txt_embed,
         depth=txt_depth, num_heads=max(4, heads // 2), repeated_times=2,
         use_transform=True,
+        # stage-2 final config trains the compression embedding
+        # (reference config/final_config/text.yaml:10); stage-3 l_clip.yaml
+        # leaves the full vocab table (reference defaults)
+        compression_embedding=(stage == "text" and not quick),
     )
     mesh = create_mesh()
     n_chips = mesh.devices.size

@@ -122,8 +122,17 @@ class InstrumentedAttention(nn.Module):
         causal: bool = False,
         kv_len: Optional[int] = None,
         deterministic: bool = True,
+        seq: Optional[int] = None,
     ) -> AttentionOutput:
-        B, N, D = x.shape
+        # 2D rows mode: x is [B*seq, C] (tower-level flattening keeps XLA
+        # layouts row-major around the kernels; caller guarantees no taps)
+        rows_in = x.ndim == 2
+        if rows_in:
+            assert seq is not None, "seq required for 2D rows inputs"
+            N = seq
+            B = x.shape[0] // seq
+        else:
+            B, N, _ = x.shape
         head_dim = self.width // self.heads
         if self.width % self.heads != 0:
             raise ValueError(f"width {self.width} not divisible by heads {self.heads}")
@@ -148,19 +157,28 @@ class InstrumentedAttention(nn.Module):
         if flash_ok and N % 16 == 0:
             # rows-layout kernel: q/k/v stay in the lane-dense [B, N, H*d]
             # layout the projection produced — no transposes, no lane padding
-            from distillclip_tpu.ops.flash_attention import flash_attention_rows
-
-            ctx = flash_attention_rows(
-                qkv[..., : self.width],
-                qkv[..., self.width : 2 * self.width],
-                qkv[..., 2 * self.width :],
-                heads=self.heads,
-                causal=causal,
-                kv_len=kv_len,
+            from distillclip_tpu.ops.flash_attention import (
+                flash_attention_rows,
+                flash_attention_rows_flat,
             )
+
+            qs = qkv[..., : self.width]
+            ks = qkv[..., self.width : 2 * self.width]
+            vs = qkv[..., 2 * self.width :]
+            if rows_in:
+                ctx = flash_attention_rows_flat(
+                    qs, ks, vs, heads=self.heads, seq=N, causal=causal,
+                    kv_len=kv_len,
+                )
+            else:
+                ctx = flash_attention_rows(
+                    qs, ks, vs, heads=self.heads, causal=causal, kv_len=kv_len,
+                )
             out = Dense(self.width, kernel_init=nn.initializers.normal(self.proj_std) if self.proj_std else None, name="out_proj")(ctx.astype(x.dtype))
             return AttentionOutput(hidden=out)
 
+        if rows_in:
+            qkv = qkv.reshape(B, N, 3 * self.width)
         qkv = qkv.reshape(B, N, 3, self.heads, head_dim)
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)  # [B, H, N, d]
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
@@ -214,6 +232,8 @@ class InstrumentedAttention(nn.Module):
             "bhnm,bhmd->bhnd", attn.astype(v.dtype), v, preferred_element_type=jnp.float32
         )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, N, self.width).astype(x.dtype)
+        if rows_in:
+            ctx = ctx.reshape(B * N, self.width)
         out = Dense(self.width, kernel_init=nn.initializers.normal(self.proj_std) if self.proj_std else None, name="out_proj")(ctx)
 
         return AttentionOutput(

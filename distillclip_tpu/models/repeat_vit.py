@@ -126,8 +126,19 @@ class MiniAttention(nn.Module):
         flags: ControlFlags,
         kv_len: Optional[int] = None,
         deterministic: bool = True,
+        seq: Optional[int] = None,
     ) -> AttentionOutput:
-        B, N, C = x.shape
+        # 2D rows mode: x is [B*seq, C] (tower-level flattening; keeps XLA
+        # layouts row-major around the kernels — BENCH_NOTES round 3).
+        # The caller guarantees no taps/rpe in this mode.
+        rows_in = x.ndim == 2
+        if rows_in:
+            assert seq is not None, "seq required for 2D rows inputs"
+            N = seq
+            B = x.shape[0] // seq
+            C = x.shape[1]
+        else:
+            B, N, C = x.shape
         head_dim = C // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
@@ -144,10 +155,12 @@ class MiniAttention(nn.Module):
             and N <= 256
         )
         if flash_ok and N % 16 == 0:
-            # rows-layout kernels on the natural [B, N, H*d] layout
+            # rows-layout kernels on the natural [rows, H*d] layout
+            qs, ks, vs = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
             if self.use_transform:
                 from distillclip_tpu.ops.transform_attention import (
                     transform_attention_rows,
+                    transform_attention_rows_flat,
                 )
 
                 conv_l = self.param(
@@ -160,23 +173,40 @@ class MiniAttention(nn.Module):
                     (self.repeated_times, self.num_heads, self.num_heads),
                     jnp.float32,
                 )
-                ctx = transform_attention_rows(
-                    qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :],
-                    conv_l[repeat_id], conv_w[repeat_id],
-                    heads=self.num_heads, scale=scale, kv_len=kv_len,
-                )
+                if rows_in:
+                    ctx = transform_attention_rows_flat(
+                        qs, ks, vs, conv_l[repeat_id], conv_w[repeat_id],
+                        heads=self.num_heads, seq=N, scale=scale, kv_len=kv_len,
+                    )
+                else:
+                    ctx = transform_attention_rows(
+                        qs, ks, vs, conv_l[repeat_id], conv_w[repeat_id],
+                        heads=self.num_heads, scale=scale, kv_len=kv_len,
+                    )
             else:
-                from distillclip_tpu.ops.flash_attention import flash_attention_rows
-
-                ctx = flash_attention_rows(
-                    qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :],
-                    heads=self.num_heads, scale=scale, kv_len=kv_len,
+                from distillclip_tpu.ops.flash_attention import (
+                    flash_attention_rows,
+                    flash_attention_rows_flat,
                 )
+
+                if rows_in:
+                    ctx = flash_attention_rows_flat(
+                        qs, ks, vs, heads=self.num_heads, seq=N, scale=scale,
+                        kv_len=kv_len,
+                    )
+                else:
+                    ctx = flash_attention_rows(
+                        qs, ks, vs, heads=self.num_heads, scale=scale, kv_len=kv_len,
+                    )
             out = StudentDense(C, name="proj")(ctx.astype(x.dtype))
             if self.proj_drop > 0.0 and not deterministic:
                 out = nn.Dropout(rate=self.proj_drop, deterministic=False)(out)
             return AttentionOutput(hidden=out)
 
+        if rows_in:
+            # unfused fallback needs the [B, N, C] view (rare in rows mode:
+            # only attn-dropout training configs reach it)
+            qkv = qkv.reshape(B, N, 3 * C)
         qkv = qkv.reshape(B, N, 3, self.num_heads, head_dim)
         q = qkv[:, :, 0].transpose(0, 2, 1, 3)
         k = qkv[:, :, 1].transpose(0, 2, 1, 3)
@@ -269,6 +299,8 @@ class MiniAttention(nn.Module):
         if rpe is not None:
             out = out + rpe_on_values(rpe, repeat_id, attn.astype(v.dtype))
         out = out.transpose(0, 2, 1, 3).reshape(B, N, C).astype(x.dtype)
+        if rows_in:
+            out = out.reshape(B * N, C)
         out = StudentDense(C, name="proj")(out)
         if self.proj_drop > 0.0 and not deterministic:
             out = nn.Dropout(rate=self.proj_drop, deterministic=False)(out)
@@ -324,9 +356,11 @@ class RepeatedMiniBlock(nn.Module):
     @nn.compact
     def __call__(
         self, x: Array, flags: ControlFlags, kv_len: Optional[int] = None,
-        deterministic: bool = True,
+        deterministic: bool = True, seq: Optional[int] = None,
     ) -> TransformerOutput:
         assert len(self.drop_paths) == self.repeated_times
+        # 2D rows mode (x: [B*seq, C]): LN/MLP/residuals are last-dim ops and
+        # run unchanged; per-sample drop_path must be inactive (tower gates)
         attn = MiniAttention(
             dim=self.dim,
             num_heads=self.num_heads,
@@ -357,7 +391,7 @@ class RepeatedMiniBlock(nn.Module):
         value_map = None
         for r in range(self.repeated_times):
             a_out = attn(norm1[r](x), r, flags, kv_len=kv_len,
-                         deterministic=deterministic)
+                         deterministic=deterministic, seq=seq)
             dp_rng = (
                 self.make_rng("droppath")
                 if (not deterministic and self.drop_paths[r] > 0.0)
@@ -476,10 +510,19 @@ class RepeatVisionTransformer(nn.Module):
         n_blocks = self.depth // self.repeated_times
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
 
+        # 2D rows mode: run every block on [B*Npad, C] so XLA keeps row-major
+        # layouts on the denses (rank-3 towers get batch-minor layouts at
+        # 35-58% MFU; the same math on 2D rows runs at ~80% — BENCH_NOTES
+        # round 3).  Per-sample drop_path is shape-sensitive, so only when
+        # it is inactive.
+        rows_mode = pad_ok and (deterministic or self.drop_path_rate == 0.0)
+        if rows_mode:
+            x = x.reshape(B * Npad, self.embed_dim)
+
         scores, probs, reps = [], [], []
         value_map = None
         block_cls = (
-            nn.remat(RepeatedMiniBlock, static_argnums=(2, 3, 4))
+            nn.remat(RepeatedMiniBlock, static_argnums=(2, 3, 4, 5))
             if self.remat else RepeatedMiniBlock
         )
         for b in range(n_blocks):
@@ -497,13 +540,15 @@ class RepeatVisionTransformer(nn.Module):
                 rpe_config=self.rpe_config,
                 seq_len=seq_len,
                 name=f"blocks_{b}",
-            )(x, flags, kv_len, deterministic)
+            )(x, flags, kv_len, deterministic, Npad if rows_mode else None)
             x = block_out.hidden
             scores.append(block_out.attention_scores)
             probs.append(block_out.attention_probs)
             reps.append(block_out.representations)
             value_map = block_out.value_map
 
+        if rows_mode:
+            x = x.reshape(B, Npad, self.embed_dim)
         if Npad != N0:
             x = x[:, :N0]
         x = StudentLayerNorm(name="norm")(x)
@@ -586,6 +631,12 @@ class RepeatTextTransformer(nn.Module):
         n_blocks = self.depth // self.repeated_times
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
 
+        # 2D rows mode (see RepeatVisionTransformer)
+        B = x.shape[0]
+        rows_mode = pad_ok and (deterministic or self.drop_path_rate == 0.0)
+        if rows_mode:
+            x = x.reshape(B * Npad, self.embed_dim)
+
         scores, probs, reps = [], [], []
         value_map = None
         for b in range(n_blocks):
@@ -603,13 +654,16 @@ class RepeatTextTransformer(nn.Module):
                 rpe_config=self.rpe_config,
                 seq_len=self.context_length,
                 name=f"blocks_{b}",
-            )(x, flags, kv_len=kv_len, deterministic=deterministic)
+            )(x, flags, kv_len=kv_len, deterministic=deterministic,
+              seq=Npad if rows_mode else None)
             x = block_out.hidden
             scores.append(block_out.attention_scores)
             probs.append(block_out.attention_probs)
             reps.append(block_out.representations)
             value_map = block_out.value_map
 
+        if rows_mode:
+            x = x.reshape(B, Npad, self.embed_dim)
         if Npad != N0:
             x = x[:, :N0]
         x = StudentLayerNorm(name="norm")(x)

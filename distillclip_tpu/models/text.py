@@ -114,6 +114,12 @@ class TextTransformer(nn.Module):
         if Np != N:
             x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
 
+        # 2D rows mode (see vit.py)
+        B = x.shape[0]
+        rows_mode = pad_ok and (deterministic or self.drop_prob == 0.0)
+        if rows_mode:
+            x = x.reshape(B * Np, self.width)
+
         t_out = Transformer(
             width=self.width,
             layers=self.layers,
@@ -121,9 +127,11 @@ class TextTransformer(nn.Module):
             need_layers=self.need_layers,
             drop_prob=self.drop_prob,
             name="transformer",
-        )(x, flags, causal=True, kv_len=kv_len, deterministic=deterministic)
+        )(x, flags, causal=True, kv_len=kv_len, deterministic=deterministic,
+          seq=Np if rows_mode else None)
 
-        hidden = t_out.hidden[:, :N] if Np != N else t_out.hidden
+        hidden = t_out.hidden.reshape(B, Np, self.width) if rows_mode else t_out.hidden
+        hidden = hidden[:, :N] if Np != N else hidden
         x = LayerNorm(name="ln_final")(hidden)
         text_projection = self.param(
             "text_projection",

@@ -45,13 +45,14 @@ class ResidualAttentionBlock(nn.Module):
         causal: bool = False,
         kv_len: Optional[int] = None,
         deterministic: bool = True,
+        seq: Optional[int] = None,
     ) -> AttentionOutput:
         attn_out = InstrumentedAttention(
             width=self.width, heads=self.heads, drop_prob=self.drop_prob,
             use_flash=self.use_flash, attn_std=self.attn_std,
             proj_std=self.proj_std, name="attn",
         )(LayerNorm(name="ln_1")(x), flags, mask=mask, causal=causal,
-          kv_len=kv_len, deterministic=deterministic)
+          kv_len=kv_len, deterministic=deterministic, seq=seq)
         x = x + attn_out.hidden
         x = x + ClipMlp(width=self.width, fc_std=self.fc_std,
                         proj_std=self.proj_std, name="mlp")(LayerNorm(name="ln_2")(x))
@@ -101,7 +102,10 @@ class Transformer(nn.Module):
         causal: bool = False,
         kv_len: Optional[int] = None,
         deterministic: bool = True,
+        seq: Optional[int] = None,
     ) -> TransformerOutput:
+        # 2D rows mode: x is [B*seq, C]; LN/MLP are last-dim ops, attention
+        # takes the flat kernels (taps are disabled by the caller)
         selected = set(self.selected_layers())
         scores, probs, reps = [], [], []
         value_map = None
@@ -119,7 +123,7 @@ class Transformer(nn.Module):
                 fc_std=fc_std,
                 name=f"resblocks_{i}",
             )(x, flags, mask=mask, causal=causal, kv_len=kv_len,
-              deterministic=deterministic)
+              deterministic=deterministic, seq=seq)
             x = block_out.hidden
             if i not in selected:
                 continue

@@ -111,6 +111,12 @@ class VisionTransformer(nn.Module):
         if Np != N:
             x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
 
+        # 2D rows mode: run the stack on [B*Np, C] so XLA keeps row-major
+        # layouts on the denses (BENCH_NOTES round 3)
+        rows_mode = pad_ok and (deterministic or self.drop_prob == 0.0)
+        if rows_mode:
+            x = x.reshape(B * Np, self.width)
+
         t_out = Transformer(
             width=self.width,
             layers=self.layers,
@@ -118,8 +124,10 @@ class VisionTransformer(nn.Module):
             need_layers=self.need_layers,
             drop_prob=self.drop_prob,
             name="transformer",
-        )(x, flags, mask=None, kv_len=kv_len, deterministic=deterministic)
-        hidden = t_out.hidden[:, :N] if Np != N else t_out.hidden
+        )(x, flags, mask=None, kv_len=kv_len, deterministic=deterministic,
+          seq=Np if rows_mode else None)
+        hidden = t_out.hidden.reshape(B, Np, self.width) if rows_mode else t_out.hidden
+        hidden = hidden[:, :N] if Np != N else hidden
         x = LayerNorm(name="ln_post")(hidden)
 
         proj = self.param(

@@ -422,18 +422,38 @@ def flash_attention_rows(
     projection; the output feeds the out-projection unchanged.
     """
     B, N, HD = q2.shape
+    of = flash_attention_rows_flat(
+        q2.reshape(B * N, HD), k2.reshape(B * N, HD), v2.reshape(B * N, HD),
+        heads=heads, seq=N, scale=scale, causal=causal, kv_len=kv_len,
+    )
+    return of.reshape(B, N, HD)
+
+
+def flash_attention_rows_flat(
+    qf: Array,
+    kf: Array,
+    vf: Array,
+    *,
+    heads: int,
+    seq: int,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+) -> Array:
+    """Flat-rows API: q/k/v as [B*seq, H*d] (the towers' 2D rows mode).
+
+    2D activations outside the kernel keep XLA's layout assignment on
+    row-major layouts for the surrounding denses (BENCH_NOTES round 3).
+    """
+    rows_total, HD = qf.shape
     d = HD // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if N % 16 != 0:
-        raise ValueError(f"flash_attention_rows requires N %% 16 == 0, got {N}")
-    valid = kv_len if kv_len is not None else N
-    gb = _pick_gb(B, N, HD)
-    qf = q2.reshape(B * N, HD)
-    kf = k2.reshape(B * N, HD)
-    vf = v2.reshape(B * N, HD)
-    of = _flash_rows(qf, kf, vf, float(scale), bool(causal), gb, N, heads, d, valid)
-    return of.reshape(B, N, HD)
+    if seq % 16 != 0:
+        raise ValueError(f"flash_attention_rows requires N %% 16 == 0, got {seq}")
+    valid = kv_len if kv_len is not None else seq
+    gb = _pick_gb(rows_total // seq, seq, HD)
+    return _flash_rows(qf, kf, vf, float(scale), bool(causal), gb, seq, heads, d, valid)
 
 
 # ---------------------------------------------------------------------------

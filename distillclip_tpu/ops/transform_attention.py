@@ -58,7 +58,7 @@ def _interpret() -> bool:
         return True
 
 
-def _tf_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref,
+def _tf_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, p_ref=None,
                *, scale, gb, h, np_len, n, d):
     HN = h * np_len
     HD = h * d
@@ -111,26 +111,38 @@ def _tf_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref,
         # guard: with a global-row max, a head whose logits sit far below
         # another head's can underflow entirely; keep it at zero, not NaN
         p = e / jnp.maximum(denom_full, 1e-30)
+        pb = p.astype(jnp.bfloat16)
+        if p_ref is not None:
+            # save-P training path: the backward reuses exactly the bf16
+            # probs the output matmul consumed (no recompute, bit-identical)
+            p_ref[lo:lo + np_len, :] = pb
         # 3) conv_w-mixed output, ONE matmul emitting the natural layout
         vx = pltpu.repeat(v_ref[lo:lo + np_len, :], h, 0)    # [HN, HD]
         o = jax.lax.dot_general(
-            p.astype(jnp.bfloat16), WWX * vx, (((1,), (0,)), ((), ())),
+            pb, WWX * vx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [Np, HD]
         o_ref[lo:lo + np_len, :] = o.astype(o_ref.dtype)
 
 
-def _tf_fwd_call(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d):
+def _tf_fwd_call(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d, save_p=False):
     rows_total, HD = q2.shape
     rows_blk = gb * np_len
     blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_blk = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    p_blk = pl.BlockSpec((rows_blk, h * np_len), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_specs = (blk, p_blk) if save_p else blk
+    out_shape = (
+        (jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
+         jax.ShapeDtypeStruct((rows_total, h * np_len), jnp.bfloat16))
+        if save_p else jax.ShapeDtypeStruct((rows_total, HD), q2.dtype)
+    )
     return pl.pallas_call(
         functools.partial(_tf_kernel, scale=scale, gb=gb, h=h,
                           np_len=np_len, n=n, d=d),
         grid=(rows_total // rows_blk,),
         in_specs=[blk, blk, blk, w_blk, w_blk],
-        out_specs=blk,
-        out_shape=jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
             # WLX/WWX and the per-sample repeats are [HN,HD] register-resident
             # values (~2.3MB each bf16 at H=24,Np=64); 16MB default is tight
@@ -140,12 +152,21 @@ def _tf_fwd_call(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d):
     )(q2, k2, v2, wl, ww)
 
 
-def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
+def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref, p_ref,
                    dq_ref, dk_ref, dv_ref, dwl_ref, dww_ref,
                    *, scale, gb, h, np_len, n, d):
-    """Fused backward: recomputes the folded forward, then runs the
-    transposed identities — all 2D matmuls (contractions over the row dim
-    replace transposes, which Mosaic lacks)."""
+    """Fused save-P backward (round-3 rework; BENCH_NOTES 'Next levers' 2).
+
+    vs the round-2 recompute backward:
+    * P is read back from the forward kernel (bf16, exactly the probs the
+      output matmul consumed) — no score recompute, no softmax chain;
+    * the two Esel row-sum MATMULS are replaced by H row-slice ADDS
+      (true-FLOP: summing H row blocks is a VPU add, not an [Np,HN]x[HN,HD]
+      contraction).
+
+    Remaining matmuls per sample: dP, dVp, dq, dKp (the colcat-inherent
+    H-inflated four) + the cheap dwl/dww reductions.
+    """
     HN = h * np_len
     HD = h * d
     r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
@@ -154,10 +175,6 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
     r2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 0)
     c2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 1)
     Dcol = (r2 // d == c2).astype(jnp.float32)
-    # row selector E[j, (x,j')] = (j == j'): sums the H row-blocks
-    er = jax.lax.broadcasted_iota(jnp.int32, (np_len, 1), 0)
-    ec = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
-    Esel = (er == ec % np_len).astype(jnp.bfloat16)
 
     wl = wl_ref[...].astype(jnp.float32)
     ww = ww_ref[...].astype(jnp.float32)
@@ -172,8 +189,6 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
                               preferred_element_type=jnp.float32
                               ).astype(jnp.bfloat16)
 
-    ccol = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
-    kv_bias = jnp.where((ccol % np_len) < n, 0.0, NEG_INF).astype(jnp.float32)
     Dsm = Drow.astype(jnp.bfloat16)
 
     step = pl.program_id(0)
@@ -186,6 +201,13 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
     dwl_acc = jnp.zeros((h, h), jnp.float32)
     dww_acc = jnp.zeros((h, h), jnp.float32)
 
+    def block_sum(x32):
+        # sum the h row-blocks of an [HN, HD] value -> [Np, HD] (VPU adds)
+        acc = x32[0:np_len, :]
+        for b in range(1, h):
+            acc = acc + x32[b * np_len:(b + 1) * np_len, :]
+        return acc
+
     for s in range(gb):
         lo = s * np_len
         q_blk = q_ref[lo:lo + np_len, :]
@@ -193,20 +215,8 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
         vx = pltpu.repeat(v_ref[lo:lo + np_len, :], h, 0)
         Kp = WLX * kx
         Vp = WWX * vx
-        # ---- forward recompute
-        s2 = jax.lax.dot_general(
-            q_blk, Kp, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale + kv_bias
-        m = jnp.max(s2, axis=-1, keepdims=True)
-        e = jnp.exp(s2 - m)
-        denom = jax.lax.dot_general(
-            e.astype(jnp.bfloat16), Dsm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        denom_full = jax.lax.dot_general(
-            denom, Drow, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        p = e / jnp.maximum(denom_full, 1e-30)          # [Np, HN] f32
-        pb = p.astype(jnp.bfloat16)
+        pb = p_ref[lo:lo + np_len, :]                   # [Np, HN] bf16 (saved)
+        p = pb.astype(jnp.float32)
         do_blk = do_ref[lo:lo + np_len, :]
         # ---- output side
         dP = jax.lax.dot_general(
@@ -215,10 +225,9 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
         dVp = jax.lax.dot_general(
             pb, do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # [HN, HD]
-        dVw = (dVp * WWX.astype(jnp.float32)).astype(jnp.bfloat16)
-        dv_ref[lo:lo + np_len, :] = jax.lax.dot_general(
-            Esel, dVw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dv_ref.dtype)
+        dVw = dVp * WWX.astype(jnp.float32)
+        # dv[j] = sum_g dVw[(g,j)] — row-block sum, no matmul
+        dv_ref[lo:lo + np_len, :] = block_sum(dVw).astype(dv_ref.dtype)
         # dVp rows are (g,j) blocks (unlike dKp whose rows are (h,j)), so
         # contract columns first then rows to land [h, g] without transpose
         dww_e = (dVp * vx.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -242,10 +251,9 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
         dKp = jax.lax.dot_general(
             dS, q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [HN, HD]
-        dKw = (dKp * WLX.astype(jnp.float32)).astype(jnp.bfloat16)
-        dk_ref[lo:lo + np_len, :] = jax.lax.dot_general(
-            Esel, dKw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dk_ref.dtype)
+        dKw = dKp * WLX.astype(jnp.float32)
+        # dk[j] = sum_h dKw[(h,j)] — row-block sum, no matmul
+        dk_ref[lo:lo + np_len, :] = block_sum(dKw).astype(dk_ref.dtype)
         dwl_e = (dKp * kx.astype(jnp.float32)).astype(jnp.bfloat16)
         tl = jax.lax.dot_general(Dsm, dwl_e, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -257,16 +265,17 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref,
     dww_ref[...] += dww_acc
 
 
-def _tf_bwd_call(q2, k2, v2, wl, ww, do2, scale, n, gb, np_len, h, d):
+def _tf_bwd_call(q2, k2, v2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
     rows_total, HD = q2.shape
     rows_blk = gb * np_len
     blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_blk = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    p_blk = pl.BlockSpec((rows_blk, h * np_len), lambda i: (i, 0), memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_tf_bwd_kernel, scale=scale, gb=gb, h=h,
                           np_len=np_len, n=n, d=d),
         grid=(rows_total // rows_blk,),
-        in_specs=[blk, blk, blk, w_blk, w_blk, blk],
+        in_specs=[blk, blk, blk, w_blk, w_blk, blk, p_blk],
         out_specs=[blk, blk, blk, w_blk, w_blk],
         out_shape=[
             jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
@@ -279,7 +288,7 @@ def _tf_bwd_call(q2, k2, v2, wl, ww, do2, scale, n, gb, np_len, h, d):
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(q2, k2, v2, wl, ww, do2)
+    )(q2, k2, v2, wl, ww, do2, p2)
 
 
 def _xla_transform_rows(q2, k2, v2, wl, ww, scale, n, heads):
@@ -302,65 +311,75 @@ def _xla_transform_rows(q2, k2, v2, wl, ww, scale, n, heads):
     return o.transpose(0, 2, 1, 3).reshape(B, N, HD).astype(q2.dtype)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
-def _tf_rows(q2, k2, v2, wl, ww, scale, n, heads):
-    B, N, HD = q2.shape
-    d = HD // heads
-    gb = 1
+def _pick_gb(B: int) -> int:
     # gb sweep on v5e (6L fwd, B=128): 1->5.98, 2->4.74, 4->5.22, 8->3.56,
     # 16->3.39 ms — bigger row blocks amortize the mask builds and bubbles
     for cand in (16, 8, 4, 2, 1):
         if B % cand == 0:
-            gb = cand
-            break
-    qf, kf, vf = (t.reshape(B * N, HD) for t in (q2, k2, v2))
-    of = _tf_fwd_call(qf, kf, vf, wl, ww, float(scale), n, gb, N, heads, d)
-    return of.reshape(B, N, HD)
+            return cand
+    return 1
 
 
-def _tf_rows_fwd(q2, k2, v2, wl, ww, scale, n, heads):
-    o = _tf_rows(q2, k2, v2, wl, ww, scale, n, heads)
-    return o, (q2, k2, v2, wl, ww)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _tf_flat(qf, kf, vf, wl, ww, scale, n, heads, np_len):
+    rows_total, HD = qf.shape
+    d = HD // heads
+    gb = _pick_gb(rows_total // np_len)
+    return _tf_fwd_call(qf, kf, vf, wl, ww, float(scale), n, gb, np_len, heads, d)
 
 
 def _bwd_mode() -> str:
-    """'xla' (default) or 'kernel'.
+    """'kernel' (save-P fused backward) or 'xla' (recompute via XLA).
 
-    Measured at image-student scale (B=128, H=24, Np=64, 6 layers): pallas
-    fwd + XLA recompute bwd = 9.75 ms beats both pure XLA (10.02) and the
-    fused pallas bwd (15.09 — six H-inflated matmuls vs the forward's two).
-    The fused backward stays available for shapes where it may win.
+    Round 3 reworked the fused backward: the forward saves its bf16 probs
+    (no in-kernel score recompute) and the Esel row-sum matmuls became
+    row-slice adds, leaving the four colcat-inherent matmuls.  Keeping the
+    whole differentiated region out of XLA's attention graph also fixes the
+    batch-minor layout poisoning of the surrounding denses (BENCH_NOTES
+    round-3): cached text step 177.2 ms kernel vs 193.9 XLA even BEFORE the
+    save-P rework.  'xla' remains as a fallback/debug path.
     """
     import os
 
-    return os.environ.get("DISTILLCLIP_TF_BWD", "xla")
+    return os.environ.get("DISTILLCLIP_TF_BWD", "kernel")
 
 
-def _tf_rows_bwd(scale, n, heads, res, do):
-    q2, k2, v2, wl, ww = res
-    if _bwd_mode() != "kernel":
-        _, vjp = jax.vjp(
-            lambda a, b, c, l, w: _xla_transform_rows(a, b, c, l, w, scale, n, heads),
-            q2, k2, v2, wl, ww,
-        )
-        return vjp(do)
-    B, N, HD = q2.shape
+def _tf_flat_fwd(qf, kf, vf, wl, ww, scale, n, heads, np_len):
+    rows_total, HD = qf.shape
     d = HD // heads
-    gb = 1
-    # gb sweep on v5e (6L fwd, B=128): 1->5.98, 2->4.74, 4->5.22, 8->3.56,
-    # 16->3.39 ms — bigger row blocks amortize the mask builds and bubbles
-    for cand in (16, 8, 4, 2, 1):
-        if B % cand == 0:
-            gb = cand
-            break
-    qf, kf, vf, dof = (t.reshape(B * N, HD) for t in (q2, k2, v2, do))
+    gb = _pick_gb(rows_total // np_len)
+    if _bwd_mode() == "kernel":
+        # save-P training path: the forward also emits the bf16 probs so the
+        # fused backward skips the score recompute entirely
+        of, pf = _tf_fwd_call(qf, kf, vf, wl, ww, float(scale), n, gb, np_len,
+                              heads, d, save_p=True)
+        return of, (qf, kf, vf, wl, ww, pf)
+    of = _tf_fwd_call(qf, kf, vf, wl, ww, float(scale), n, gb, np_len, heads, d)
+    return of, (qf, kf, vf, wl, ww, None)
+
+
+def _tf_flat_bwd(scale, n, heads, np_len, res, do):
+    qf, kf, vf, wl, ww, pf = res
+    rows_total, HD = qf.shape
+    if pf is None:
+        B = rows_total // np_len
+
+        def f3(a, b, c, l, w):
+            to3 = lambda t: t.reshape(B, np_len, HD)
+            return _xla_transform_rows(
+                to3(a), to3(b), to3(c), l, w, scale, n, heads
+            ).reshape(rows_total, HD)
+
+        _, vjp = jax.vjp(f3, qf, kf, vf, wl, ww)
+        return vjp(do)
+    d = HD // heads
+    gb = _pick_gb(rows_total // np_len)
     dq, dk, dv, dwl, dww = _tf_bwd_call(
-        qf, kf, vf, wl, ww, dof, float(scale), n, gb, N, heads, d)
-    return (dq.reshape(B, N, HD), dk.reshape(B, N, HD), dv.reshape(B, N, HD),
-            dwl.astype(wl.dtype), dww.astype(ww.dtype))
+        qf, kf, vf, wl, ww, do, pf, float(scale), n, gb, np_len, heads, d)
+    return dq, dk, dv, dwl.astype(wl.dtype), dww.astype(ww.dtype)
 
 
-_tf_rows.defvjp(_tf_rows_fwd, _tf_rows_bwd)
+_tf_flat.defvjp(_tf_flat_fwd, _tf_flat_bwd)
 
 
 def transform_attention_rows(
@@ -372,12 +391,32 @@ def transform_attention_rows(
     N must be a 16-multiple (tower-level padding); ``kv_len`` masks pad keys.
     """
     B, N, HD = q2.shape
+    of = transform_attention_rows_flat(
+        q2.reshape(B * N, HD), k2.reshape(B * N, HD), v2.reshape(B * N, HD),
+        wl, ww, heads=heads, seq=N, scale=scale, kv_len=kv_len,
+    )
+    return of.reshape(B, N, HD)
+
+
+def transform_attention_rows_flat(
+    qf: Array, kf: Array, vf: Array, wl: Array, ww: Array,
+    *, heads: int, seq: int, scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+) -> Array:
+    """Flat-rows API: q/k/v as [B*seq, H*d] (the towers' 2D rows mode).
+
+    Keeping every tensor 2D outside the kernel stops XLA from assigning
+    batch-minor layouts to the surrounding denses (BENCH_NOTES round 3:
+    rank-3 [B,77,768] towers sit at 35-58% MFU, the same math flattened
+    to rows runs at ~80%).
+    """
+    rows_total, HD = qf.shape
     d = HD // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if N % 16 != 0:
-        raise ValueError(f"transform_attention_rows requires N % 16 == 0, got {N}")
-    n = kv_len if kv_len is not None else N
+    if seq % 16 != 0:
+        raise ValueError(f"transform_attention_rows requires N % 16 == 0, got {seq}")
+    n = kv_len if kv_len is not None else seq
     # Measured dispatch (v5e, 6 layers, B=128): the folded kernel wins at
     # wide-head shapes (H=24: fwd 3.94 vs 4.8 ms) where XLA's [B,H,N,N]
     # buffers hurt most, and loses at narrow-head shapes (H=8, d=64:
@@ -385,5 +424,9 @@ def transform_attention_rows(
     # matmuls cost more than XLA's smaller score buffers.
     # (interpret mode always runs the kernel so tests keep covering it)
     if heads < 12 and not _interpret():
-        return _xla_transform_rows(q2, k2, v2, wl, ww, float(scale), int(n), heads)
-    return _tf_rows(q2, k2, v2, wl, ww, float(scale), int(n), int(heads))
+        B = rows_total // seq
+        to3 = lambda t: t.reshape(B, seq, HD)
+        return _xla_transform_rows(
+            to3(qf), to3(kf), to3(vf), wl, ww, float(scale), int(n), heads
+        ).reshape(rows_total, HD)
+    return _tf_flat(qf, kf, vf, wl, ww, float(scale), int(n), int(heads), int(seq))
