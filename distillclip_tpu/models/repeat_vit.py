@@ -54,13 +54,18 @@ class StudentLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        if x.ndim == 2:
+            # 2D rows mode: fused Pallas LN (see models/layers.py LayerNorm)
+            from distillclip_tpu.ops.layer_norm import layer_norm_rows
+
+            return layer_norm_rows(x, scale, bias, self.epsilon)
         orig_dtype = x.dtype
         x32 = x.astype(jnp.float32)
         mean = jnp.mean(x32, axis=-1, keepdims=True)
         var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
         y = (x32 - mean) * jax.lax.rsqrt(var + self.epsilon)
-        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
-        bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
         return (y * scale + bias).astype(orig_dtype)
 
 

@@ -373,7 +373,12 @@ def _tf_flat_bwd(scale, n, heads, np_len, res, do):
         _, vjp = jax.vjp(f3, qf, kf, vf, wl, ww)
         return vjp(do)
     d = HD // heads
+    import os
+
     gb = _pick_gb(rows_total // np_len)
+    gb_env = os.environ.get("DISTILLCLIP_TF_BWD_GB")
+    if gb_env and (rows_total // np_len) % int(gb_env) == 0:
+        gb = int(gb_env)  # bwd block-size override for tuning
     dq, dk, dv, dwl, dww = _tf_bwd_call(
         qf, kf, vf, wl, ww, do, pf, float(scale), n, gb, np_len, heads, d)
     return dq, dk, dv, dwl.astype(wl.dtype), dww.astype(ww.dtype)

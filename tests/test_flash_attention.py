@@ -142,3 +142,41 @@ def test_transform_fused_backward_kernel(monkeypatch):
             np.asarray(a) / scale, np.asarray(b) / scale, atol=2e-2,
             err_msg=name,
         )
+
+
+def test_layer_norm_rows_matches_reduce():
+    """Fused 2D LN kernel: values + all grads vs the fp32 reduce formulation."""
+    import numpy as np
+
+    from distillclip_tpu.ops.layer_norm import layer_norm_rows
+
+    rng = np.random.default_rng(0)
+    rows, C = 64, 96
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32) * 2 + 1.5,
+                    jnp.bfloat16)
+    s = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.3 + 1.0)
+    b = jnp.asarray(rng.normal(size=(C,)).astype(np.float32) * 0.1)
+
+    def ref(x, s, b):
+        x32 = x.astype(jnp.float32)
+        m = jnp.mean(x32, axis=-1, keepdims=True)
+        v = jnp.mean(jnp.square(x32 - m), axis=-1, keepdims=True)
+        return ((x32 - m) * jax.lax.rsqrt(v + 1e-5) * s + b).astype(x.dtype)
+
+    y_k = layer_norm_rows(x, s, b)
+    y_r = ref(x, s, b)
+    np.testing.assert_allclose(np.asarray(y_k, np.float32),
+                               np.asarray(y_r, np.float32), atol=2e-2)
+
+    def loss_k(x, s, b):
+        return jnp.sum(layer_norm_rows(x, s, b).astype(jnp.float32) ** 2)
+
+    def loss_r(x, s, b):
+        return jnp.sum(ref(x, s, b).astype(jnp.float32) ** 2)
+
+    gk = jax.grad(loss_k, argnums=(0, 1, 2))(x, s, b)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2))(x, s, b)
+    for name, a, e in zip(("dx", "dscale", "dbias"), gk, gr):
+        a32, e32 = np.asarray(a, np.float32), np.asarray(e, np.float32)
+        denom = max(1e-3, float(np.abs(e32).max()))
+        assert np.max(np.abs(a32 - e32)) / denom < 3e-2, name
