@@ -69,7 +69,7 @@ def _fabricated_teacher_quick(cache):
 
 
 def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
-              cached_teacher=False):
+              cached_teacher=False, trace_dir=None):
     """Measure one stage's train step; returns a result dict."""
     import jax
     import jax.numpy as jnp
@@ -169,6 +169,15 @@ def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
     for _ in range(warmup):
         state, metrics = step(state)
     fence(metrics)
+
+    if trace_dir:
+        # device trace of 3 steps (tools/trace_summary.py digests the
+        # resulting perfetto trace.json.gz); traces DO work through the
+        # axon tunnel (BENCH_NOTES round 2)
+        with jax.profiler.trace(trace_dir):
+            for _ in range(3):
+                state, metrics = step(state)
+            fence(metrics)
 
     t0 = time.perf_counter()
     for _ in range(steps):
@@ -311,6 +320,9 @@ def main():
              "the step (valid: text stage, and the text tower of l_clip; "
              "inputs are fixed token tensors so reps are constants)",
     )
+    parser.add_argument("--trace", default=None, metavar="DIR",
+                        help="write a 3-step jax.profiler device trace to DIR "
+                             "(digest with tools/trace_summary.py)")
     args = parser.parse_args()
     if args.cached_teacher and args.stage == "image":
         parser.error("--cached-teacher: image inputs are augmented; only "
@@ -352,7 +364,7 @@ def main():
     cached = args.cached_teacher or args.stage is None
     res = run_stage(primary_stage, quick=args.quick, batch=args.batch,
                     steps=args.steps, warmup=args.warmup,
-                    cached_teacher=cached)
+                    cached_teacher=cached, trace_dir=args.trace)
 
     detail = dict(res)
     value = detail.pop("value")

@@ -318,6 +318,39 @@ class MiniAttention(nn.Module):
         )
 
 
+def _fc1_mode() -> str:
+    """'kernel' (fused Pallas fc1+act forward) or 'xla'."""
+    import os
+
+    return os.environ.get("DISTILLCLIP_FC1", "kernel")
+
+
+class _Fc1Act(nn.Module):
+    """fc1 + activation via the fused Pallas forward (ops/fc1_act.py).
+
+    Declares the same kernel/bias params (names, shapes, init) as the
+    StudentDense it replaces, so the parameter tree and checkpoints are
+    identical between the kernel and XLA paths.
+    """
+
+    features: int
+    act: str = "gelu_exact"
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from distillclip_tpu.ops.fc1_act import dense_act
+
+        k = self.param("kernel", self.kernel_init or trunc_normal_02,
+                       (x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        # same dtype promotion as nn.Dense(dtype=None): params arrive bf16
+        # from cast_to_compute in train steps, fp32 at init/eval
+        ct = jnp.promote_types(x.dtype, k.dtype)
+        return dense_act(x.astype(ct), k.astype(ct), b.astype(ct), self.act)
+
+
 class Mlp(nn.Module):
     """timm-style MLP: fc1 -> GELU(exact) -> drop -> fc2 -> drop."""
 
@@ -327,8 +360,20 @@ class Mlp(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, deterministic: bool = True) -> Array:
-        x = StudentDense(self.hidden_features, name="fc1")(x)
-        x = jax.nn.gelu(x, approximate=False)
+        from distillclip_tpu.ops.flash_attention import flash_enabled
+
+        if x.ndim == 2 and flash_enabled() and _fc1_mode() == "kernel":
+            # fused fc1+GELU forward kernel (2D rows mode): XLA runs this
+            # dense at 45% MFU on its two [rows, 4C] residual writes
+            # (ops/fc1_act.py; device trace in BENCH_NOTES round 3).
+            # NOTE: NO remat instead — jax.checkpoint on the activation
+            # measured SLOWER (154.5 -> 165.7 ms text step): the backward
+            # erf recompute doesn't fuse; it becomes its own [rows, 4C] pass
+            x = _Fc1Act(self.hidden_features, act="gelu_exact",
+                        name="fc1")(x)
+        else:
+            x = StudentDense(self.hidden_features, name="fc1")(x)
+            x = jax.nn.gelu(x, approximate=False)
         if self.drop > 0.0 and not deterministic:
             x = nn.Dropout(rate=self.drop, deterministic=False)(x)
         x = StudentDense(self.in_features, name="fc2")(x)

@@ -1,0 +1,181 @@
+"""Fused fc1 + activation forward kernel (Pallas/TPU).
+
+Why: in 2D rows mode the MLP's first dense is the largest single op family
+in the student steps — e.g. 4 x 4.49 ms of the 153 ms cached text step —
+and XLA runs it at only 45% MFU / 253 GB/s (device trace, BENCH_NOTES
+round 3).  The op is structurally write-heavy: the forward must emit BOTH
+the pre-activation u = x@W + b and the activation's transcendental value
+e (erf or sigmoid) as backward residuals, ~1 GB per layer at text scale
+(the activation h itself is recombined from (u, e) by the fc2 fusion's
+operand read, so it is never materialized).  That write traffic is
+inherent; XLA's 45% MFU on top of it is not.
+
+The kernel computes u in one MXU dot per row block (K = C fits VMEM whole,
+no K loop) and writes (u, e).  The surrounding graph is unchanged from
+what XLA builds today: h = recombine(u, e) fuses into the fc2 matmul
+read, and the backward reads (u, e) in its du/db pass — so this swaps in
+at exactly one HLO and the autodiff structure stays identical via a
+custom VJP whose backward is plain XLA (dW/dx matmuls already run at
+56-96% MFU).
+
+Negative results that motivated this design (measured, BENCH_NOTES):
+jax.checkpoint on the activation (save u only) makes the step SLOWER —
+the bf16 erf recompute becomes its own [rows, 4C] backward pass (+1.4
+ms/layer) while the forward still writes two outputs.
+
+Reference parity: timm-style Mlp fc1+GELU(exact)
+(weight_share_model.py:142-152) and CLIP c_fc+QuickGELU
+(_common.py:104-108).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from distillclip_tpu.ops._shard import shard_rows_call
+
+Array = jax.Array
+
+_INV_SQRT2 = 1.0 / math.sqrt(2.0)
+_INV_SQRT2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def _interpret() -> bool:
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _erf_approx(z):
+    """erf via Abramowitz-Stegun 7.1.26 (max abs err 1.5e-7).
+
+    Mosaic has no erf primitive (NotImplementedError: KernelType.TC: erf);
+    this rational+exp form uses only supported ops, and 1.5e-7 is far below
+    the bf16 ulp the value is stored at."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(z)
+    x = jnp.abs(z)
+    t = 1.0 / (1.0 + p * x)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-x * x))
+
+
+def _fc1_kernel(x_ref, w_ref, b_ref, u_ref, e_ref, *, act):
+    x = x_ref[...]
+    w = w_ref[...]
+    u = jax.lax.dot_general(
+        x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)
+    if act == "gelu_exact":
+        e = _erf_approx(u * _INV_SQRT2)
+    elif act == "quick_gelu":
+        e = jax.nn.sigmoid(1.702 * u)
+    else:  # pragma: no cover
+        raise ValueError(act)
+    u_ref[...] = u.astype(u_ref.dtype)
+    e_ref[...] = e.astype(e_ref.dtype)
+
+
+def _pick_rows_blk(rows: int) -> int:
+    for cand in (512, 256, 128, 64, 32, 16, 8):
+        if rows % cand == 0:
+            return cand
+    return rows
+
+
+def _fc1_call(x, w, b, act):
+    rows, C = x.shape
+    H = w.shape[1]
+    blk_rows = _pick_rows_blk(rows)
+    xblk = pl.BlockSpec((blk_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((blk_rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fc1_kernel, act=act),
+        grid=(rows // blk_rows,),
+        in_specs=[xblk, wblk, bblk],
+        out_specs=(oblk, oblk),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, H), x.dtype),
+            jax.ShapeDtypeStruct((rows, H), x.dtype),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            # W is grid-resident ([C, 4C] bf16 ~4.7 MB at C=768) + the f32
+            # accumulator block; default 16MB scoped budget is too tight
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x, w, b.reshape(1, H))
+
+
+def _recombine(u, e, act):
+    uf = u.astype(jnp.float32)
+    ef = e.astype(jnp.float32)
+    if act == "gelu_exact":
+        h = 0.5 * uf * (1.0 + ef)
+    else:  # quick_gelu
+        h = uf * ef
+    return h.astype(u.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _dense_act(x: Array, w: Array, b: Array, act: str) -> Array:
+    u, e = _fc1_call(x, w, b, act)
+    return _recombine(u, e, act)
+
+
+def _dense_act_fwd(x, w, b, act):
+    u, e = _fc1_call(x, w, b, act)
+    # h is NOT a residual: consumers recombine it from (u, e) — XLA fuses
+    # the multiply into the next matmul's operand read (same graph shape
+    # XLA itself builds for dense->gelu->dense)
+    return _recombine(u, e, act), (x, w, u, e)
+
+
+def _dense_act_bwd(act, res, dh):
+    x, w, u, e = res
+    uf = u.astype(jnp.float32)
+    ef = e.astype(jnp.float32)
+    if act == "gelu_exact":
+        # gelu'(u) = Phi(u) + u phi(u); Phi from the saved erf value, phi
+        # is a cheap exp (vs the erf recompute that made remat lose)
+        gp = 0.5 * (1.0 + ef) + uf * jnp.exp(-0.5 * uf * uf) * _INV_SQRT2PI
+    else:  # quick_gelu: h = u*s, s' = 1.702 s (1-s)
+        gp = ef + 1.702 * uf * ef * (1.0 - ef)
+    du = (dh.astype(jnp.float32) * gp).astype(dh.dtype)
+    dx = jax.lax.dot_general(
+        du, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        x, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    db = jnp.sum(du.astype(jnp.float32), axis=0).astype(w.dtype)
+    return dx, dw, db
+
+
+_dense_act.defvjp(_dense_act_fwd, _dense_act_bwd)
+
+
+def dense_act(x: Array, w: Array, b: Array, act: str = "gelu_exact") -> Array:
+    """h = act(x @ w + b) with the fused Pallas forward; 2D rows only.
+
+    Under an active device mesh the kernel runs per-shard via shard_map
+    (ops/_shard.py) — row-sharded x, replicated w/b, dw/db psum'd by the
+    shard_map transpose.  Rows here are [B*seq, C]; any row split is
+    valid for this op, so ``samples`` is the row count itself.
+    """
+    return shard_rows_call(
+        lambda xs, ws, bs: _dense_act(xs, ws, bs, act),
+        (x,), (w, b), x.shape[0],
+    )

@@ -51,16 +51,16 @@ NEG_INF = -1e9
 
 
 def flash_enabled() -> bool:
-    """Fused-kernel opt-in: DISTILLCLIP_FLASH=1 enables the Pallas attention
-    paths (+ tower sequence padding).
+    """Pallas fast path: attention kernels + tower seq padding + 2D rows
+    mode + fused LN/fc1 kernels.  DISTILLCLIP_FLASH=0 opts out (XLA path).
 
-    Default is OFF: measured on v5e (BENCH_NOTES.md), the current kernels
-    reach XLA parity on the teacher towers but the end-to-end L-CLIP step is
-    still fastest on the XLA path (1823 vs 1674 pairs/s/chip at batch 256)
-    because the dominant cost — the weight-share student's cross-head
-    transform attention — cannot be fused yet (Mosaic relayout limits).
-    Flip the default when the kernels win end-to-end."""
-    return os.environ.get("DISTILLCLIP_FLASH", "0") == "1"
+    Default is ON since round 3: with the save-P transform backward, 2D
+    rows mode (which fixes the batch-minor layout pathology of the
+    surrounding denses), and the fused LN/fc1 kernels, the kernel path wins
+    end-to-end at BOTH final-config shapes on v5e (BENCH_NOTES round 3):
+    cached text 143.4 ms vs 193.9 XLA at B=1024; joint cached 109.9 ms vs
+    115.2 XLA at B=256."""
+    return os.environ.get("DISTILLCLIP_FLASH", "1") == "1"
 
 
 def _interpret() -> bool:
@@ -452,8 +452,17 @@ def flash_attention_rows_flat(
     if seq % 16 != 0:
         raise ValueError(f"flash_attention_rows requires N %% 16 == 0, got {seq}")
     valid = kv_len if kv_len is not None else seq
-    gb = _pick_gb(rows_total // seq, seq, HD)
-    return _flash_rows(qf, kf, vf, float(scale), bool(causal), gb, seq, heads, d, valid)
+
+    def call(q, k, v):
+        # block size from the (possibly per-shard) local batch
+        gb = _pick_gb(q.shape[0] // seq, seq, HD)
+        return _flash_rows(q, k, v, float(scale), bool(causal), gb, seq, heads,
+                           d, valid)
+
+    from distillclip_tpu.ops._shard import shard_rows_call
+
+    # shard boundaries must align to whole sequences: samples = batch
+    return shard_rows_call(call, (qf, kf, vf), (), rows_total // seq)
 
 
 # ---------------------------------------------------------------------------
@@ -610,6 +619,10 @@ def flash_attention(
     np_len = _round_up(N, 16)
     pad = np_len - N
 
+    from distillclip_tpu.ops._shard import shard_rows_call
+
+    padcfg = ((0, 0), (0, 0), (0, pad), (0, 0))
+
     if head_transform is not None:
         # KNOWN LIMITATION: the head-transform kernel needs a
         # [H, Np, Np] -> [H, Np*Np] view for the MXU head-mix, which
@@ -625,22 +638,28 @@ def flash_attention(
                 precise=q.dtype == jnp.float32,
             )
         wl, ww = head_transform
-        if pad:
-            padcfg = ((0, 0), (0, 0), (0, pad), (0, 0))
-            q, k, v = (jnp.pad(t, padcfg) for t in (q, k, v))
-        o = _flash_tf(q, k, v, wl, ww, float(scale), bool(causal), valid)
-        return o[:, :, :N]
 
-    g = _pick_group(B * H, np_len)
-    if pad:
-        padcfg = ((0, 0), (0, 0), (0, pad), (0, 0))
-        q, k, v = (jnp.pad(t, padcfg) for t in (q, k, v))
-    qf = q.reshape(B * H * np_len, D)
-    kf = k.reshape(B * H * np_len, D)
-    vf = v.reshape(B * H * np_len, D)
-    of = _flash_packed(qf, kf, vf, float(scale), bool(causal), g, np_len, valid)
-    o = of.reshape(B, H, np_len, D)
-    return o if pad == 0 else o[:, :, :N]
+        def call_tf(q, k, v, wl, ww):
+            if pad:
+                q, k, v = (jnp.pad(t, padcfg) for t in (q, k, v))
+            o = _flash_tf(q, k, v, wl, ww, float(scale), bool(causal), valid)
+            return o[:, :, :N]
+
+        return shard_rows_call(call_tf, (q, k, v), (wl, ww), B)
+
+    def call(q, k, v):
+        b = q.shape[0]  # local batch under shard_map
+        g = _pick_group(b * H, np_len)
+        if pad:
+            q, k, v = (jnp.pad(t, padcfg) for t in (q, k, v))
+        qf = q.reshape(b * H * np_len, D)
+        kf = k.reshape(b * H * np_len, D)
+        vf = v.reshape(b * H * np_len, D)
+        of = _flash_packed(qf, kf, vf, float(scale), bool(causal), g, np_len, valid)
+        o = of.reshape(b, H, np_len, D)
+        return o if pad == 0 else o[:, :, :N]
+
+    return shard_rows_call(call, (q, k, v), (), B)
 
 
 def reference_attention(

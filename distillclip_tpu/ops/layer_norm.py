@@ -37,9 +37,12 @@ def _interpret() -> bool:
         return True
 
 
-def _pick_rows_blk(rows: int) -> int:
+def _pick_rows_blk(rows: int, cap: int = 1024) -> int:
+    # fp32 temporaries are ~5x the bf16 block; 2048x768 rows blew the 16MB
+    # scoped-vmem budget on hardware (20.27M) -- cap at 1024 (fwd) / 512
+    # (bwd, which holds x+g+dx blocks at once) and lift the scoped limit.
     for cand in (2048, 1024, 512, 256, 128, 64, 32, 16, 8):
-        if rows % cand == 0:
+        if cand <= cap and rows % cand == 0:
             return cand
     return rows
 
@@ -96,13 +99,16 @@ def _ln_fwd_call(x, s, b, eps):
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
             jax.ShapeDtypeStruct((rows, 1), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(x, s.reshape(1, C), b.reshape(1, C))
 
 
 def _ln_bwd_call(x, s, g, mean, rstd):
     rows, C = x.shape
-    blk_rows = _pick_rows_blk(rows)
+    blk_rows = _pick_rows_blk(rows, cap=512)
     blk = pl.BlockSpec((blk_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
     stat = pl.BlockSpec((blk_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
     vec = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
@@ -116,14 +122,16 @@ def _ln_bwd_call(x, s, g, mean, rstd):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=_interpret(),
     )(x, s.reshape(1, C), g, mean, rstd)
     return dx, ds.reshape(C), db.reshape(C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def layer_norm_rows(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
-    """Fused fp32-math LayerNorm over the last dim of 2D [rows, C] inputs."""
+def _layer_norm_rows(x: Array, scale: Array, bias: Array, eps: float) -> Array:
     y, _, _ = _ln_fwd_call(x, scale, bias, eps)
     return y
 
@@ -139,4 +147,20 @@ def _ln_rows_bwd(eps, res, g):
     return dx, ds.astype(scale.dtype), db.astype(scale.dtype)
 
 
-layer_norm_rows.defvjp(_ln_rows_fwd, _ln_rows_bwd)
+_layer_norm_rows.defvjp(_ln_rows_fwd, _ln_rows_bwd)
+
+
+def layer_norm_rows(x: Array, scale: Array, bias: Array, eps: float = 1e-5) -> Array:
+    """Fused fp32-math LayerNorm over the last dim of 2D [rows, C] inputs.
+
+    Under an active device mesh the kernel runs per-shard via shard_map
+    (ops/_shard.py): row-sharded x, replicated scale/bias, dscale/dbias
+    psum'd by the shard_map transpose.  LN is row-independent, so any
+    row split is valid.
+    """
+    from distillclip_tpu.ops._shard import shard_rows_call
+
+    return shard_rows_call(
+        lambda xs, ss, bs: _layer_norm_rows(xs, ss, bs, eps),
+        (x,), (scale, bias), x.shape[0],
+    )

@@ -311,11 +311,11 @@ def _xla_transform_rows(q2, k2, v2, wl, ww, scale, n, heads):
     return o.transpose(0, 2, 1, 3).reshape(B, N, HD).astype(q2.dtype)
 
 
-def _pick_gb(B: int) -> int:
+def _pick_gb(B: int, cap: int = 16) -> int:
     # gb sweep on v5e (6L fwd, B=128): 1->5.98, 2->4.74, 4->5.22, 8->3.56,
     # 16->3.39 ms — bigger row blocks amortize the mask builds and bubbles
     for cand in (16, 8, 4, 2, 1):
-        if B % cand == 0:
+        if cand <= cap and B % cand == 0:
             return cand
     return 1
 
@@ -375,7 +375,11 @@ def _tf_flat_bwd(scale, n, heads, np_len, res, do):
     d = HD // heads
     import os
 
-    gb = _pick_gb(rows_total // np_len)
+    # bwd block sweep at text B=1024 (fenced, round 3): gb=16 -> 154.5,
+    # gb=8 -> 153.0, gb=4 -> 153.8 ms full step; the backward holds ~2x the
+    # forward's live blocks (q,k,v,do,p + 3 grads), so half the forward's
+    # row block pipelines better
+    gb = _pick_gb(rows_total // np_len, cap=8)
     gb_env = os.environ.get("DISTILLCLIP_TF_BWD_GB")
     if gb_env and (rows_total // np_len) % int(gb_env) == 0:
         gb = int(gb_env)  # bwd block-size override for tuning
@@ -434,4 +438,13 @@ def transform_attention_rows_flat(
         return _xla_transform_rows(
             to3(qf), to3(kf), to3(vf), wl, ww, float(scale), int(n), heads
         ).reshape(rows_total, HD)
-    return _tf_flat(qf, kf, vf, wl, ww, float(scale), int(n), int(heads), int(seq))
+    from distillclip_tpu.ops._shard import shard_rows_call
+
+    # per-shard under an active mesh (ops/_shard.py): rows sharded on whole
+    # samples, wl/ww replicated with their grads psum'd by the transpose
+    return shard_rows_call(
+        lambda q, k, v, l, w: _tf_flat(
+            q, k, v, l, w, float(scale), int(n), int(heads), int(seq)
+        ),
+        (qf, kf, vf), (wl, ww), rows_total // seq,
+    )

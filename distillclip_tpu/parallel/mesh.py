@@ -33,6 +33,25 @@ Array = jax.Array
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
+# Active-mesh registry: Pallas kernel entry points consult this to run
+# per-shard under shard_map instead of being replicated by the SPMD
+# partitioner (ops/_shard.py has the measurements).  ``create_mesh``
+# registers the mesh it builds; entry points that tear a mesh down can
+# call ``set_active_mesh(None)``.
+_ACTIVE_MESH: Optional[Mesh] = None
+
+
+def set_active_mesh(mesh: Optional[Mesh]) -> Optional[Mesh]:
+    """Register the mesh kernels should shard over; returns the previous."""
+    global _ACTIVE_MESH
+    prev = _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+    return prev
+
+
+def active_mesh() -> Optional[Mesh]:
+    return _ACTIVE_MESH
+
 
 def initialize_distributed(
     coordinator_address: Optional[str] = None,
@@ -89,7 +108,9 @@ def create_mesh(
             f"mesh {n_data}x{n_model} does not cover {len(devices)} devices"
         )
     arr = np.asarray(devices).reshape(n_data, n_model)
-    return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    mesh = Mesh(arr, (DATA_AXIS, MODEL_AXIS))
+    set_active_mesh(mesh)
+    return mesh
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

@@ -144,6 +144,65 @@ def test_transform_fused_backward_kernel(monkeypatch):
         )
 
 
+@pytest.mark.parametrize("act", ["gelu_exact", "quick_gelu"])
+def test_fc1_dense_act_parity(act):
+    """Fused fc1+activation kernel: values + all grads vs plain XLA.
+
+    The erf inside the kernel is the Abramowitz-Stegun approximation
+    (max abs err 1.5e-7) so fp32 parity is tight."""
+    from distillclip_tpu.ops.fc1_act import dense_act
+
+    rng = np.random.default_rng(3)
+    rows, C, Hf = 64, 96, 128
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+    w = jnp.asarray(rng.normal(size=(C, Hf)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(Hf,)).astype(np.float32) * 0.1)
+
+    def ref(x, w, b):
+        u = x @ w + b
+        if act == "gelu_exact":
+            return jax.nn.gelu(u, approximate=False)
+        return u * jax.nn.sigmoid(1.702 * u)
+
+    y_k = dense_act(x, w, b, act)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(ref(x, w, b)),
+                               rtol=1e-4, atol=1e-4)
+
+    co = jnp.asarray(rng.normal(size=(rows, Hf)).astype(np.float32))
+    gk = jax.grad(lambda *a: jnp.sum(dense_act(*a, act) * co),
+                  argnums=(0, 1, 2))(x, w, b)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a) * co), argnums=(0, 1, 2))(x, w, b)
+    for name, a, e in zip(("dx", "dw", "db"), gk, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=1e-3, atol=1e-3, err_msg=name)
+
+
+def test_fc1_dense_act_bf16_params_tree():
+    """Mlp with the kernel path declares the identical param tree as the
+    XLA path (checkpoint compatibility)."""
+    from distillclip_tpu.models.repeat_vit import Mlp
+
+    x2 = jnp.zeros((8, 32))
+    m = Mlp(in_features=32, hidden_features=64)
+    flash_env, fc1_env = "DISTILLCLIP_FLASH", "DISTILLCLIP_FC1"
+    import os
+
+    old = {k: os.environ.get(k) for k in (flash_env, fc1_env)}
+    try:
+        os.environ[flash_env], os.environ[fc1_env] = "1", "kernel"
+        p_kernel = m.init(jax.random.PRNGKey(0), x2)
+        os.environ[fc1_env] = "xla"
+        p_xla = m.init(jax.random.PRNGKey(0), x2)
+    finally:
+        for k, v in old.items():
+            os.environ.pop(k, None) if v is None else os.environ.__setitem__(k, v)
+    assert jax.tree_util.tree_structure(p_kernel) == jax.tree_util.tree_structure(p_xla)
+    for a, b in zip(jax.tree_util.tree_leaves(p_kernel),
+                    jax.tree_util.tree_leaves(p_xla)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
 def test_layer_norm_rows_matches_reduce():
     """Fused 2D LN kernel: values + all grads vs the fp32 reduce formulation."""
     import numpy as np
@@ -180,3 +239,67 @@ def test_layer_norm_rows_matches_reduce():
         a32, e32 = np.asarray(a, np.float32), np.asarray(e, np.float32)
         denom = max(1e-3, float(np.abs(e32).max()))
         assert np.max(np.abs(a32 - e32)) / denom < 3e-2, name
+
+
+def test_sharded_kernel_grads():
+    """Kernels under an active mesh run per-shard (shard_map), not replicated.
+
+    Root cause of the round-3 suite hang: pallas_call has no SPMD
+    partitioning rule, so under plain pjit the partitioner replicates the
+    custom call and all-gathers every operand per grid step (measured: one
+    flash fwd+bwd = 150 all-gathers on an 8-device mesh); on the 1-core CPU
+    host the rendezvous storm deadlocks.  ops/_shard.py routes kernel entry
+    points through shard_map.  This test asserts (a) zero all-gathers /
+    collective-permutes in the compiled sharded grad, and (b) grads —
+    including the psum'd replicated-weight grads — match the unsharded path.
+    """
+    import re
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from distillclip_tpu.ops.fc1_act import dense_act
+    from distillclip_tpu.ops.transform_attention import transform_attention_rows_flat
+    from distillclip_tpu.parallel.mesh import active_mesh, create_mesh, set_active_mesh
+
+    prev = active_mesh()
+    mesh = create_mesh(n_model=1)
+    try:
+        sh = NamedSharding(mesh, P("data"))
+        rng = np.random.default_rng(0)
+        rows, C = 16 * 16, 64  # B=16 samples of seq=16 over 8 devices
+        q = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32) * 0.3)
+        wl = jnp.asarray(np.eye(4, dtype=np.float32) + 0.05 * rng.normal(size=(4, 4)).astype(np.float32))
+        ww = jnp.asarray(np.eye(4, dtype=np.float32) + 0.05 * rng.normal(size=(4, 4)).astype(np.float32))
+        x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32))
+        w = jnp.asarray(rng.normal(size=(C, 128)).astype(np.float32) * 0.05)
+        b = jnp.zeros((128,), jnp.float32)
+
+        def loss_tf(q, wl, ww):
+            o = transform_attention_rows_flat(q, q, q, wl, ww, heads=4, seq=16)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_fc1(x, w, b):
+            return jnp.sum(dense_act(x, w, b, "gelu_exact").astype(jnp.float32) ** 2)
+
+        for loss, args, shardings in (
+            (loss_tf, (q, wl, ww), (sh, None, None)),
+            (loss_fc1, (x, w, b), (sh, None, None)),
+        ):
+            g = jax.grad(loss, argnums=tuple(range(len(args))))
+            comp = jax.jit(g, in_shardings=shardings).lower(
+                jax.device_put(args[0], sh), *args[1:]
+            ).compile()
+            hlo = comp.as_text()
+            assert not re.search(r"all-gather\(|collective-permute\(", hlo), (
+                "kernel was replicated under the mesh (collective storm)"
+            )
+            g_sh = comp(jax.device_put(args[0], sh), *args[1:])
+            set_active_mesh(None)
+            g_ref = g(*args)
+            set_active_mesh(mesh)
+            for a, e in zip(g_sh, g_ref):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(e), rtol=2e-4, atol=2e-4
+                )
+    finally:
+        set_active_mesh(prev)
