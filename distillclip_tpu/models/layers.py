@@ -161,22 +161,23 @@ class InstrumentedAttention(nn.Module):
         )
 
         if flash_ok and N % 16 == 0:
-            # rows-layout kernel: q/k/v stay in the lane-dense [B, N, H*d]
-            # layout the projection produced — no transposes, no lane padding
+            # rows-layout kernel: in rows mode the FUSED qkv projection
+            # output feeds the kernel directly (lane-sliced in VMEM) — no
+            # transposes, no lane padding, no q/k/v slice materializations
             from distillclip_tpu.ops.flash_attention import (
                 flash_attention_rows,
-                flash_attention_rows_flat,
+                flash_attention_rows_qkv,
             )
 
-            qs = qkv[..., : self.width]
-            ks = qkv[..., self.width : 2 * self.width]
-            vs = qkv[..., 2 * self.width :]
             if rows_in:
-                ctx = flash_attention_rows_flat(
-                    qs, ks, vs, heads=self.heads, seq=N, causal=causal,
+                ctx = flash_attention_rows_qkv(
+                    qkv, heads=self.heads, seq=N, causal=causal,
                     kv_len=kv_len,
                 )
             else:
+                qs = qkv[..., : self.width]
+                ks = qkv[..., self.width : 2 * self.width]
+                vs = qkv[..., 2 * self.width :]
                 ctx = flash_attention_rows(
                     qs, ks, vs, heads=self.heads, causal=causal, kv_len=kv_len,
                 )

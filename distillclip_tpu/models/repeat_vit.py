@@ -160,12 +160,14 @@ class MiniAttention(nn.Module):
             and N <= 256
         )
         if flash_ok and N % 16 == 0:
-            # rows-layout kernels on the natural [rows, H*d] layout
-            qs, ks, vs = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
+            # rows-layout kernels; in 2D rows mode the FUSED qkv projection
+            # output feeds the kernel directly (one operand, lane-sliced in
+            # VMEM) — the 3-slice variant cost 4.6 ms/step of pure copies
+            # (round-3 text trace)
             if self.use_transform:
                 from distillclip_tpu.ops.transform_attention import (
                     transform_attention_rows,
-                    transform_attention_rows_flat,
+                    transform_attention_rows_qkv,
                 )
 
                 conv_l = self.param(
@@ -179,11 +181,12 @@ class MiniAttention(nn.Module):
                     jnp.float32,
                 )
                 if rows_in:
-                    ctx = transform_attention_rows_flat(
-                        qs, ks, vs, conv_l[repeat_id], conv_w[repeat_id],
+                    ctx = transform_attention_rows_qkv(
+                        qkv, conv_l[repeat_id], conv_w[repeat_id],
                         heads=self.num_heads, seq=N, scale=scale, kv_len=kv_len,
                     )
                 else:
+                    qs, ks, vs = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
                     ctx = transform_attention_rows(
                         qs, ks, vs, conv_l[repeat_id], conv_w[repeat_id],
                         heads=self.num_heads, scale=scale, kv_len=kv_len,
@@ -191,15 +194,16 @@ class MiniAttention(nn.Module):
             else:
                 from distillclip_tpu.ops.flash_attention import (
                     flash_attention_rows,
-                    flash_attention_rows_flat,
+                    flash_attention_rows_qkv,
                 )
 
                 if rows_in:
-                    ctx = flash_attention_rows_flat(
-                        qs, ks, vs, heads=self.num_heads, seq=N, scale=scale,
+                    ctx = flash_attention_rows_qkv(
+                        qkv, heads=self.num_heads, seq=N, scale=scale,
                         kv_len=kv_len,
                     )
                 else:
+                    qs, ks, vs = qkv[..., :C], qkv[..., C : 2 * C], qkv[..., 2 * C :]
                     ctx = flash_attention_rows(
                         qs, ks, vs, heads=self.num_heads, scale=scale, kv_len=kv_len,
                     )

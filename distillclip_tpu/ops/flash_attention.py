@@ -245,26 +245,29 @@ def _rows_bias(np_len: int, n: int, causal: bool, hc: int) -> jnp.ndarray:
     return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
 
 
-def _rows_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
+def _rows_fwd_kernel(qkv_ref, o_ref, lse_ref,
                      q_pk, k_pk, v_pk, *, scale, causal, gb, h, np_len, n, d):
     """Packed-rows attention forward.
 
-    Inputs stay in the natural lane-dense [rows, H*d] layout; heads are
-    packed onto sublanes through VMEM scratch STORES (Mosaic relayouts on
-    store, unlike concat), giving one full-size MXU matmul per head chunk.
+    The FUSED qkv projection output is the single input ([rows, 3*H*d],
+    lane-sliced here) — feeding three separate q/k/v operands made XLA
+    materialize three [rows, HD] slices (pure copies, round-3 trace).
+    Heads are packed onto sublanes through VMEM scratch STORES (Mosaic
+    relayouts on store, unlike concat), giving one full-size MXU matmul
+    per head chunk.
     """
     hc = _head_chunk(h, np_len)
+    HD = h * d
     bias = _rows_bias(np_len, n, causal, hc)
     for s in range(gb):
         lo = s * np_len
         for c in range(h // hc):
             for j in range(hc):
                 i = c * hc + j
-                sl = slice(i * d, (i + 1) * d)
                 dst = slice(j * np_len, (j + 1) * np_len)
-                q_pk[dst, :] = q_ref[lo:lo + np_len, sl]
-                k_pk[dst, :] = k_ref[lo:lo + np_len, sl]
-                v_pk[dst, :] = v_ref[lo:lo + np_len, sl]
+                q_pk[dst, :] = qkv_ref[lo:lo + np_len, i * d:(i + 1) * d]
+                k_pk[dst, :] = qkv_ref[lo:lo + np_len, HD + i * d:HD + (i + 1) * d]
+                v_pk[dst, :] = qkv_ref[lo:lo + np_len, 2 * HD + i * d:2 * HD + (i + 1) * d]
             sm = jax.lax.dot_general(
                 q_pk[...], k_pk[...], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
@@ -285,11 +288,12 @@ def _rows_fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref,
                 lse_ref[lo:lo + np_len, i:i + 1] = lse_pk[src, :]
 
 
-def _rows_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
-                     dq_ref, dk_ref, dv_ref,
+def _rows_bwd_kernel(qkv_ref, o_ref, lse_ref, do_ref,
+                     dqkv_ref,
                      q_pk, k_pk, v_pk, o_pk, do_pk, lse_pk,
                      *, scale, causal, gb, h, np_len, n, d):
     hc = _head_chunk(h, np_len)
+    HD = h * d
     bias = _rows_bias(np_len, n, causal, hc)
     for s in range(gb):
         lo = s * np_len
@@ -298,9 +302,9 @@ def _rows_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                 i = c * hc + j
                 sl = slice(i * d, (i + 1) * d)
                 dst = slice(j * np_len, (j + 1) * np_len)
-                q_pk[dst, :] = q_ref[lo:lo + np_len, sl]
-                k_pk[dst, :] = k_ref[lo:lo + np_len, sl]
-                v_pk[dst, :] = v_ref[lo:lo + np_len, sl]
+                q_pk[dst, :] = qkv_ref[lo:lo + np_len, i * d:(i + 1) * d]
+                k_pk[dst, :] = qkv_ref[lo:lo + np_len, HD + i * d:HD + (i + 1) * d]
+                v_pk[dst, :] = qkv_ref[lo:lo + np_len, 2 * HD + i * d:2 * HD + (i + 1) * d]
                 o_pk[dst, :] = o_ref[lo:lo + np_len, sl]
                 do_pk[dst, :] = do_ref[lo:lo + np_len, sl]
                 lse_pk[dst, :] = lse_ref[lo:lo + np_len, i:i + 1]
@@ -327,11 +331,10 @@ def _rows_bwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, do_ref,
                                      preferred_element_type=jnp.float32)
             for j in range(hc):
                 i = c * hc + j
-                sl = slice(i * d, (i + 1) * d)
                 src = slice(j * np_len, (j + 1) * np_len)
-                dq_ref[lo:lo + np_len, sl] = dq[src, :].astype(dq_ref.dtype)
-                dk_ref[lo:lo + np_len, sl] = dk[src, :].astype(dk_ref.dtype)
-                dv_ref[lo:lo + np_len, sl] = dv[src, :].astype(dv_ref.dtype)
+                dqkv_ref[lo:lo + np_len, i * d:(i + 1) * d] = dq[src, :].astype(dqkv_ref.dtype)
+                dqkv_ref[lo:lo + np_len, HD + i * d:HD + (i + 1) * d] = dk[src, :].astype(dqkv_ref.dtype)
+                dqkv_ref[lo:lo + np_len, 2 * HD + i * d:2 * HD + (i + 1) * d] = dv[src, :].astype(dqkv_ref.dtype)
 
 
 def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, causal, n):
@@ -340,6 +343,7 @@ def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, cau
     hc = _head_chunk(h, np_len)
     pk_rows = hc * np_len
     dtype = args[0].dtype
+    blk3 = pl.BlockSpec((rows_blk, 3 * HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     lse_blk = pl.BlockSpec((rows_blk, h), lambda i: (i, 0), memory_space=pltpu.VMEM)
     if n_out == 2:  # fwd: o + lse
@@ -348,14 +352,12 @@ def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, cau
             jax.ShapeDtypeStruct((rows_total, HD), dtype),
             jax.ShapeDtypeStruct((rows_total, h), jnp.float32),
         )
-        in_specs = [blk, blk, blk]
+        in_specs = [blk3]
         scratch = [pltpu.VMEM((pk_rows, d), dtype) for _ in range(3)]
-    else:  # bwd: dq, dk, dv
-        out_specs = (blk, blk, blk)
-        out_shape = tuple(
-            jax.ShapeDtypeStruct((rows_total, HD), dtype) for _ in range(3)
-        )
-        in_specs = [blk, blk, blk, blk, lse_blk, blk]
+    else:  # bwd: fused dqkv
+        out_specs = blk3
+        out_shape = jax.ShapeDtypeStruct((rows_total, 3 * HD), dtype)
+        in_specs = [blk3, blk, lse_blk, blk]
         scratch = [pltpu.VMEM((pk_rows, d), dtype) for _ in range(5)] + [
             pltpu.VMEM((pk_rows, 1), jnp.float32)
         ]
@@ -379,28 +381,29 @@ def _pick_gb(b: int, np_len: int, hd: int) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7, 8, 9))
-def _flash_rows(q2, k2, v2, scale, causal, gb, np_len, h, d, n):
-    o, _ = _flash_rows_fwd_impl(q2, k2, v2, scale, causal, gb, np_len, h, d, n)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _flash_rows(qkv2, scale, causal, gb, np_len, h, d, n):
+    o, _ = _flash_rows_fwd_impl(qkv2, scale, causal, gb, np_len, h, d, n)
     return o
 
 
-def _flash_rows_fwd_impl(q2, k2, v2, scale, causal, gb, np_len, h, d, n):
-    rows_total, HD = q2.shape
-    return _rows_call(_rows_fwd_kernel, 2, (q2, k2, v2), rows_total, HD, gb,
+def _flash_rows_fwd_impl(qkv2, scale, causal, gb, np_len, h, d, n):
+    rows_total, HD3 = qkv2.shape
+    return _rows_call(_rows_fwd_kernel, 2, (qkv2,), rows_total, HD3 // 3, gb,
                       np_len, h, d, scale, causal, n)
 
 
-def _flash_rows_fwd(q2, k2, v2, scale, causal, gb, np_len, h, d, n):
-    o, lse = _flash_rows_fwd_impl(q2, k2, v2, scale, causal, gb, np_len, h, d, n)
-    return o, (q2, k2, v2, o, lse)
+def _flash_rows_fwd(qkv2, scale, causal, gb, np_len, h, d, n):
+    o, lse = _flash_rows_fwd_impl(qkv2, scale, causal, gb, np_len, h, d, n)
+    return o, (qkv2, o, lse)
 
 
 def _flash_rows_bwd(scale, causal, gb, np_len, h, d, n, res, do):
-    q2, k2, v2, o, lse = res
-    rows_total, HD = q2.shape
-    return _rows_call(_rows_bwd_kernel, 3, (q2, k2, v2, o, lse, do), rows_total,
-                      HD, gb, np_len, h, d, scale, causal, n)
+    qkv2, o, lse = res
+    rows_total, HD3 = qkv2.shape
+    dqkv = _rows_call(_rows_bwd_kernel, 1, (qkv2, o, lse, do), rows_total,
+                      HD3 // 3, gb, np_len, h, d, scale, causal, n)
+    return (dqkv,)
 
 
 _flash_rows.defvjp(_flash_rows_fwd, _flash_rows_bwd)
@@ -445,7 +448,31 @@ def flash_attention_rows_flat(
     2D activations outside the kernel keep XLA's layout assignment on
     row-major layouts for the surrounding denses (BENCH_NOTES round 3).
     """
-    rows_total, HD = qf.shape
+    # thin wrapper over the fused-qkv entry (the models feed the fused
+    # projection output directly via flash_attention_rows_qkv)
+    return flash_attention_rows_qkv(
+        jnp.concatenate([qf, kf, vf], axis=1), heads=heads, seq=seq,
+        scale=scale, causal=causal, kv_len=kv_len,
+    )
+
+
+def flash_attention_rows_qkv(
+    qkvf: Array,
+    *,
+    heads: int,
+    seq: int,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    kv_len: Optional[int] = None,
+) -> Array:
+    """Fused-projection API: qkv as ONE [B*seq, 3*H*d] array.
+
+    The kernel lane-slices q/k/v in VMEM, so the fused qkv projection
+    output feeds the custom call directly (no slice materializations) and
+    the backward emits the fused dqkv the projection's transpose wants.
+    """
+    rows_total, HD3 = qkvf.shape
+    HD = HD3 // 3
     d = HD // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
@@ -453,16 +480,16 @@ def flash_attention_rows_flat(
         raise ValueError(f"flash_attention_rows requires N %% 16 == 0, got {seq}")
     valid = kv_len if kv_len is not None else seq
 
-    def call(q, k, v):
+    def call(qkv):
         # block size from the (possibly per-shard) local batch
-        gb = _pick_gb(q.shape[0] // seq, seq, HD)
-        return _flash_rows(q, k, v, float(scale), bool(causal), gb, seq, heads,
+        gb = _pick_gb(qkv.shape[0] // seq, seq, HD)
+        return _flash_rows(qkv, float(scale), bool(causal), gb, seq, heads,
                            d, valid)
 
     from distillclip_tpu.ops._shard import shard_rows_call
 
     # shard boundaries must align to whole sequences: samples = batch
-    return shard_rows_call(call, (qf, kf, vf), (), rows_total // seq)
+    return shard_rows_call(call, (qkvf,), (), rows_total // seq)
 
 
 # ---------------------------------------------------------------------------

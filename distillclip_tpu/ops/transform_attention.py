@@ -58,8 +58,15 @@ def _interpret() -> bool:
         return True
 
 
-def _tf_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, p_ref=None,
+def _tf_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref=None,
                *, scale, gb, h, np_len, n, d):
+    """qkv_ref: fused [rows_blk, 3*HD] projection output.
+
+    Taking the fused array as ONE operand (lane-sliced in VMEM, 768 is a
+    128-multiple) instead of three q/k/v operands removes the three
+    [rows, HD] slice materializations XLA otherwise emits to feed the
+    custom call — 4.6 ms/step of pure copies in the round-3 text trace.
+    """
     HN = h * np_len
     HD = h * d
     # block indicators ([rows -> head index]); [X,1]x[1,h] compares keep the
@@ -94,9 +101,9 @@ def _tf_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, p_ref=None,
     for s in range(gb):
         lo = s * np_len
         # 1) conv_l-mixed scores, ONE matmul into colcat [Np, (h,j)]
-        kx = pltpu.repeat(k_ref[lo:lo + np_len, :], h, 0)    # [HN, HD]
+        kx = pltpu.repeat(qkv_ref[lo:lo + np_len, HD:2 * HD], h, 0)  # [HN, HD]
         s2 = jax.lax.dot_general(
-            q_ref[lo:lo + np_len, :], WLX * kx, (((1,), (1,)), ((), ())),
+            qkv_ref[lo:lo + np_len, 0:HD], WLX * kx, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale + kv_bias
         # 2) block softmax with global-row max; per-head-block denominators
@@ -117,30 +124,32 @@ def _tf_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, o_ref, p_ref=None,
             # probs the output matmul consumed (no recompute, bit-identical)
             p_ref[lo:lo + np_len, :] = pb
         # 3) conv_w-mixed output, ONE matmul emitting the natural layout
-        vx = pltpu.repeat(v_ref[lo:lo + np_len, :], h, 0)    # [HN, HD]
+        vx = pltpu.repeat(qkv_ref[lo:lo + np_len, 2 * HD:3 * HD], h, 0)  # [HN, HD]
         o = jax.lax.dot_general(
             pb, WWX * vx, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)              # [Np, HD]
         o_ref[lo:lo + np_len, :] = o.astype(o_ref.dtype)
 
 
-def _tf_fwd_call(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d, save_p=False):
-    rows_total, HD = q2.shape
+def _tf_fwd_call(qkv2, wl, ww, scale, n, gb, np_len, h, d, save_p=False):
+    rows_total, HD3 = qkv2.shape
+    HD = HD3 // 3
     rows_blk = gb * np_len
+    blk3 = pl.BlockSpec((rows_blk, HD3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_blk = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     p_blk = pl.BlockSpec((rows_blk, h * np_len), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_specs = (blk, p_blk) if save_p else blk
     out_shape = (
-        (jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
+        (jax.ShapeDtypeStruct((rows_total, HD), qkv2.dtype),
          jax.ShapeDtypeStruct((rows_total, h * np_len), jnp.bfloat16))
-        if save_p else jax.ShapeDtypeStruct((rows_total, HD), q2.dtype)
+        if save_p else jax.ShapeDtypeStruct((rows_total, HD), qkv2.dtype)
     )
     return pl.pallas_call(
         functools.partial(_tf_kernel, scale=scale, gb=gb, h=h,
                           np_len=np_len, n=n, d=d),
         grid=(rows_total // rows_blk,),
-        in_specs=[blk, blk, blk, w_blk, w_blk],
+        in_specs=[blk3, w_blk, w_blk],
         out_specs=out_specs,
         out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(
@@ -149,11 +158,11 @@ def _tf_fwd_call(q2, k2, v2, wl, ww, scale, n, gb, np_len, h, d, save_p=False):
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(q2, k2, v2, wl, ww)
+    )(qkv2, wl, ww)
 
 
-def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref, p_ref,
-                   dq_ref, dk_ref, dv_ref, dwl_ref, dww_ref,
+def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
+                   dqkv_ref, dwl_ref, dww_ref,
                    *, scale, gb, h, np_len, n, d):
     """Fused save-P backward (round-3 rework; BENCH_NOTES 'Next levers' 2).
 
@@ -210,9 +219,9 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref, p_ref,
 
     for s in range(gb):
         lo = s * np_len
-        q_blk = q_ref[lo:lo + np_len, :]
-        kx = pltpu.repeat(k_ref[lo:lo + np_len, :], h, 0)
-        vx = pltpu.repeat(v_ref[lo:lo + np_len, :], h, 0)
+        q_blk = qkv_ref[lo:lo + np_len, 0:HD]
+        kx = pltpu.repeat(qkv_ref[lo:lo + np_len, HD:2 * HD], h, 0)
+        vx = pltpu.repeat(qkv_ref[lo:lo + np_len, 2 * HD:3 * HD], h, 0)
         Kp = WLX * kx
         Vp = WWX * vx
         pb = p_ref[lo:lo + np_len, :]                   # [Np, HN] bf16 (saved)
@@ -227,7 +236,7 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref, p_ref,
             preferred_element_type=jnp.float32)         # [HN, HD]
         dVw = dVp * WWX.astype(jnp.float32)
         # dv[j] = sum_g dVw[(g,j)] — row-block sum, no matmul
-        dv_ref[lo:lo + np_len, :] = block_sum(dVw).astype(dv_ref.dtype)
+        dqkv_ref[lo:lo + np_len, 2 * HD:3 * HD] = block_sum(dVw).astype(dqkv_ref.dtype)
         # dVp rows are (g,j) blocks (unlike dKp whose rows are (h,j)), so
         # contract columns first then rows to land [h, g] without transpose
         dww_e = (dVp * vx.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -245,15 +254,15 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref, p_ref,
                                     preferred_element_type=jnp.float32)
         dS = (p * (dP - tfull)).astype(jnp.bfloat16)     # [Np, HN]
         # ---- score side
-        dq_ref[lo:lo + np_len, :] = (jax.lax.dot_general(
+        dqkv_ref[lo:lo + np_len, 0:HD] = (jax.lax.dot_general(
             dS, Kp, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale).astype(dq_ref.dtype)
+            preferred_element_type=jnp.float32) * scale).astype(dqkv_ref.dtype)
         dKp = jax.lax.dot_general(
             dS, q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) * scale  # [HN, HD]
         dKw = dKp * WLX.astype(jnp.float32)
         # dk[j] = sum_h dKw[(h,j)] — row-block sum, no matmul
-        dk_ref[lo:lo + np_len, :] = block_sum(dKw).astype(dk_ref.dtype)
+        dqkv_ref[lo:lo + np_len, HD:2 * HD] = block_sum(dKw).astype(dqkv_ref.dtype)
         dwl_e = (dKp * kx.astype(jnp.float32)).astype(jnp.bfloat16)
         tl = jax.lax.dot_general(Dsm, dwl_e, (((0,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -265,9 +274,11 @@ def _tf_bwd_kernel(q_ref, k_ref, v_ref, wl_ref, ww_ref, do_ref, p_ref,
     dww_ref[...] += dww_acc
 
 
-def _tf_bwd_call(q2, k2, v2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
-    rows_total, HD = q2.shape
+def _tf_bwd_call(qkv2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
+    rows_total, HD3 = qkv2.shape
+    HD = HD3 // 3
     rows_blk = gb * np_len
+    blk3 = pl.BlockSpec((rows_blk, HD3), lambda i: (i, 0), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     w_blk = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
     p_blk = pl.BlockSpec((rows_blk, h * np_len), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -275,12 +286,10 @@ def _tf_bwd_call(q2, k2, v2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
         functools.partial(_tf_bwd_kernel, scale=scale, gb=gb, h=h,
                           np_len=np_len, n=n, d=d),
         grid=(rows_total // rows_blk,),
-        in_specs=[blk, blk, blk, w_blk, w_blk, blk, p_blk],
-        out_specs=[blk, blk, blk, w_blk, w_blk],
+        in_specs=[blk3, w_blk, w_blk, blk, p_blk],
+        out_specs=[blk3, w_blk, w_blk],
         out_shape=[
-            jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
-            jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
-            jax.ShapeDtypeStruct((rows_total, HD), q2.dtype),
+            jax.ShapeDtypeStruct((rows_total, HD3), qkv2.dtype),
             jax.ShapeDtypeStruct((h, h), jnp.float32),
             jax.ShapeDtypeStruct((h, h), jnp.float32),
         ],
@@ -288,7 +297,7 @@ def _tf_bwd_call(q2, k2, v2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=_interpret(),
-    )(q2, k2, v2, wl, ww, do2, p2)
+    )(qkv2, wl, ww, do2, p2)
 
 
 def _xla_transform_rows(q2, k2, v2, wl, ww, scale, n, heads):
@@ -320,12 +329,12 @@ def _pick_gb(B: int, cap: int = 16) -> int:
     return 1
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
-def _tf_flat(qf, kf, vf, wl, ww, scale, n, heads, np_len):
-    rows_total, HD = qf.shape
-    d = HD // heads
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _tf_flat_qkv(qkvf, wl, ww, scale, n, heads, np_len):
+    rows_total, HD3 = qkvf.shape
+    d = HD3 // 3 // heads
     gb = _pick_gb(rows_total // np_len)
-    return _tf_fwd_call(qf, kf, vf, wl, ww, float(scale), n, gb, np_len, heads, d)
+    return _tf_fwd_call(qkvf, wl, ww, float(scale), n, gb, np_len, heads, d)
 
 
 def _bwd_mode() -> str:
@@ -344,51 +353,53 @@ def _bwd_mode() -> str:
     return os.environ.get("DISTILLCLIP_TF_BWD", "kernel")
 
 
-def _tf_flat_fwd(qf, kf, vf, wl, ww, scale, n, heads, np_len):
-    rows_total, HD = qf.shape
-    d = HD // heads
+def _tf_flat_qkv_fwd(qkvf, wl, ww, scale, n, heads, np_len):
+    rows_total, HD3 = qkvf.shape
+    d = HD3 // 3 // heads
     gb = _pick_gb(rows_total // np_len)
     if _bwd_mode() == "kernel":
         # save-P training path: the forward also emits the bf16 probs so the
         # fused backward skips the score recompute entirely
-        of, pf = _tf_fwd_call(qf, kf, vf, wl, ww, float(scale), n, gb, np_len,
+        of, pf = _tf_fwd_call(qkvf, wl, ww, float(scale), n, gb, np_len,
                               heads, d, save_p=True)
-        return of, (qf, kf, vf, wl, ww, pf)
-    of = _tf_fwd_call(qf, kf, vf, wl, ww, float(scale), n, gb, np_len, heads, d)
-    return of, (qf, kf, vf, wl, ww, None)
+        return of, (qkvf, wl, ww, pf)
+    of = _tf_fwd_call(qkvf, wl, ww, float(scale), n, gb, np_len, heads, d)
+    return of, (qkvf, wl, ww, None)
 
 
-def _tf_flat_bwd(scale, n, heads, np_len, res, do):
-    qf, kf, vf, wl, ww, pf = res
-    rows_total, HD = qf.shape
+def _tf_flat_qkv_bwd(scale, n, heads, np_len, res, do):
+    qkvf, wl, ww, pf = res
+    rows_total, HD3 = qkvf.shape
+    HD = HD3 // 3
     if pf is None:
         B = rows_total // np_len
 
-        def f3(a, b, c, l, w):
+        def f3(qkv, l, w):
             to3 = lambda t: t.reshape(B, np_len, HD)
             return _xla_transform_rows(
-                to3(a), to3(b), to3(c), l, w, scale, n, heads
+                to3(qkv[:, 0:HD]), to3(qkv[:, HD:2 * HD]),
+                to3(qkv[:, 2 * HD:]), l, w, scale, n, heads
             ).reshape(rows_total, HD)
 
-        _, vjp = jax.vjp(f3, qf, kf, vf, wl, ww)
+        _, vjp = jax.vjp(f3, qkvf, wl, ww)
         return vjp(do)
     d = HD // heads
     import os
 
     # bwd block sweep at text B=1024 (fenced, round 3): gb=16 -> 154.5,
     # gb=8 -> 153.0, gb=4 -> 153.8 ms full step; the backward holds ~2x the
-    # forward's live blocks (q,k,v,do,p + 3 grads), so half the forward's
+    # forward's live blocks (qkv,do,p + grads), so half the forward's
     # row block pipelines better
     gb = _pick_gb(rows_total // np_len, cap=8)
     gb_env = os.environ.get("DISTILLCLIP_TF_BWD_GB")
     if gb_env and (rows_total // np_len) % int(gb_env) == 0:
         gb = int(gb_env)  # bwd block-size override for tuning
-    dq, dk, dv, dwl, dww = _tf_bwd_call(
-        qf, kf, vf, wl, ww, do, pf, float(scale), n, gb, np_len, heads, d)
-    return dq, dk, dv, dwl.astype(wl.dtype), dww.astype(ww.dtype)
+    dqkv, dwl, dww = _tf_bwd_call(
+        qkvf, wl, ww, do, pf, float(scale), n, gb, np_len, heads, d)
+    return dqkv, dwl.astype(wl.dtype), dww.astype(ww.dtype)
 
 
-_tf_flat.defvjp(_tf_flat_fwd, _tf_flat_bwd)
+_tf_flat_qkv.defvjp(_tf_flat_qkv_fwd, _tf_flat_qkv_bwd)
 
 
 def transform_attention_rows(
@@ -419,7 +430,29 @@ def transform_attention_rows_flat(
     rank-3 [B,77,768] towers sit at 35-58% MFU, the same math flattened
     to rows runs at ~80%).
     """
-    rows_total, HD = qf.shape
+    # thin wrapper over the fused-qkv entry (the models feed the fused
+    # projection output directly via transform_attention_rows_qkv; this
+    # 3-operand API re-fuses with one concat — unit-test / rank-3 path)
+    return transform_attention_rows_qkv(
+        jnp.concatenate([qf, kf, vf], axis=1), wl, ww,
+        heads=heads, seq=seq, scale=scale, kv_len=kv_len,
+    )
+
+
+def transform_attention_rows_qkv(
+    qkvf: Array, wl: Array, ww: Array,
+    *, heads: int, seq: int, scale: Optional[float] = None,
+    kv_len: Optional[int] = None,
+) -> Array:
+    """Fused-projection API: qkv as ONE [B*seq, 3*H*d] array.
+
+    The kernel lane-slices q/k/v in VMEM, so the fused projection output
+    feeds the custom call directly — no [rows, HD] slice materializations
+    (4.6 ms/step of pure copies in the round-3 text trace), and the
+    backward emits the fused dqkv the projection's transpose wants.
+    """
+    rows_total, HD3 = qkvf.shape
+    HD = HD3 // 3
     d = HD // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
@@ -436,15 +469,16 @@ def transform_attention_rows_flat(
         B = rows_total // seq
         to3 = lambda t: t.reshape(B, seq, HD)
         return _xla_transform_rows(
-            to3(qf), to3(kf), to3(vf), wl, ww, float(scale), int(n), heads
+            to3(qkvf[:, 0:HD]), to3(qkvf[:, HD:2 * HD]), to3(qkvf[:, 2 * HD:]),
+            wl, ww, float(scale), int(n), heads
         ).reshape(rows_total, HD)
     from distillclip_tpu.ops._shard import shard_rows_call
 
     # per-shard under an active mesh (ops/_shard.py): rows sharded on whole
     # samples, wl/ww replicated with their grads psum'd by the transpose
     return shard_rows_call(
-        lambda q, k, v, l, w: _tf_flat(
-            q, k, v, l, w, float(scale), int(n), int(heads), int(seq)
+        lambda qkv, l, w: _tf_flat_qkv(
+            qkv, l, w, float(scale), int(n), int(heads), int(seq)
         ),
-        (qf, kf, vf), (wl, ww), rows_total // seq,
+        (qkvf,), (wl, ww), rows_total // seq,
     )
