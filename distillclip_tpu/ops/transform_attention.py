@@ -39,6 +39,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 from typing import Optional
 
 import jax
@@ -473,6 +474,19 @@ def transform_attention_rows_qkv(
             wl, ww, float(scale), int(n), heads
         ).reshape(rows_total, HD)
     from distillclip_tpu.ops._shard import shard_rows_call
+
+    impl = os.environ.get("DISTILLCLIP_TF_IMPL", "colcat")
+    if impl == "factored":
+        # true-FLOP per-head formulation (transform_factored.py); opt-in
+        # until the hardware A/B says it wins (BENCH_NOTES round 3)
+        from distillclip_tpu.ops.transform_factored import tf_factored_qkv
+
+        return shard_rows_call(
+            lambda qkv, l, w: tf_factored_qkv(
+                qkv, l, w, float(scale), int(n), int(heads), int(seq)
+            ),
+            (qkvf,), (wl, ww), rows_total // seq,
+        )
 
     # per-shard under an active mesh (ops/_shard.py): rows sharded on whole
     # samples, wl/ww replicated with their grads psum'd by the transpose

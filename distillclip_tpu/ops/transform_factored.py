@@ -1,0 +1,362 @@
+"""Factorized head-transform attention — true-FLOP per-head dots + VPU mixes.
+
+The colcat kernel (transform_attention.py) folds the conv_l/conv_w head
+mixes (reference weight_share_model.py:114-121) into two MXU matmuls over
+``[HN, HD]`` operands.  That is MXU-shaped but pays an H-fold FLOP
+inflation: every output head-block contracts the FULL feature dim (HD)
+when the true math per head only needs d — 12x at text shapes (h=12),
+24x at image shapes (h=24).
+
+This module factorizes instead:
+
+* per-head score dots      S_j  = q_j k_j^T * scale        (true FLOPs)
+* conv_l mix on the VPU    S'_b = sum_j wl[b,j] * S_j      (h^2 tile FMAs)
+* row softmax              P'_b = softmax_kv(S'_b + kv_bias)
+* conv_w mix on the VPU    Pm_g = sum_b ww[g,b] * P'_b
+* per-head output dots     o_g  = Pm_g v_g
+
+Everything lives in a sublane-packed ``[h*Np, Np]`` scratch layout (kv
+positions on lanes), so softmax is a plain row reduction (per-head row
+max — no cross-head underflow guard needed, unlike the colcat block
+softmax) and the mixes are aligned ``[Np, Np]`` tile scale-adds.  Score
+dots can be chunked ``hc`` heads at a time (one ``[hc*Np, d] x [d,
+hc*Np]`` dot computes an hc-fold-inflated cross-head block; the diagonal
+blocks are extracted) — ``hc`` trades per-dot Mosaic overhead against
+inflation and is picked by measured shape rules.
+
+The backward reuses the saved probs P' (same save-P strategy as the
+colcat kernel) and is true-FLOP as well: dPm/dv/dq/dk per-head dots, the
+two un-mixes as tile FMAs, and dwl/dww via repeat+lane-reduce+indicator
+matmuls.
+
+Selected via ``DISTILLCLIP_TF_IMPL=factored`` (see
+transform_attention.transform_attention_rows_qkv); the colcat kernel
+stays the default until the hardware A/B says otherwise (BENCH_NOTES).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+NEG_INF = -1e9
+
+
+def _interpret() -> bool:
+    try:
+        return jax.default_backend() not in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return True
+
+
+def _pick_hc(h: int, np_len: int) -> int:
+    """Heads per score/dPm dot.
+
+    hc=1 is pure true-FLOP but pays per-dot Mosaic overhead h times;
+    larger hc amortizes overhead at hc-fold score-dot inflation plus a
+    lane-shift diag extraction.  Default 1; DISTILLCLIP_TF_HC overrides
+    for tuning (must divide h).
+    """
+    import os
+
+    env = os.environ.get("DISTILLCLIP_TF_HC")
+    if env and h % int(env) == 0:
+        return int(env)
+    return 1
+
+
+def _pack_qkv(qkv_ref, lo, np_len, h, d, HD, q_pk, k_pk, v_pk):
+    dt = q_pk.dtype
+    for j in range(h):
+        dst = slice(j * np_len, (j + 1) * np_len)
+        q_pk[dst, :] = qkv_ref[lo:lo + np_len, j * d:(j + 1) * d].astype(dt)
+        k_pk[dst, :] = qkv_ref[lo:lo + np_len, HD + j * d:HD + (j + 1) * d].astype(dt)
+        v_pk[dst, :] = qkv_ref[lo:lo + np_len, 2 * HD + j * d:2 * HD + (j + 1) * d].astype(dt)
+
+
+def _scores(q_pk, k_pk, S, scale, h, hc, np_len):
+    """S[j] = q_j k_j^T * scale, chunked hc heads per dot."""
+    for c in range(h // hc):
+        base = c * hc * np_len
+        sc = jax.lax.dot_general(
+            q_pk[base:base + hc * np_len, :], k_pk[base:base + hc * np_len, :],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * scale
+        if hc == 1:
+            S[base:base + np_len, :] = sc
+        else:
+            for j in range(hc):
+                S[base + j * np_len:base + (j + 1) * np_len, :] = (
+                    sc[j * np_len:(j + 1) * np_len, j * np_len:(j + 1) * np_len]
+                )
+
+
+def _mix(W_ref, src, dst, h, np_len, transpose=False):
+    """dst[b] = sum_j W[b,j] * src[j] (tile FMAs; W[j,b] if transpose)."""
+    for b in range(h):
+        w0 = W_ref[0:1, b:b + 1] if transpose else W_ref[b:b + 1, 0:1]
+        acc = w0 * src[0:np_len, :]
+        for j in range(1, h):
+            wj = W_ref[j:j + 1, b:b + 1] if transpose else W_ref[b:b + 1, j:j + 1]
+            acc = acc + wj * src[j * np_len:(j + 1) * np_len, :]
+        dst[b * np_len:(b + 1) * np_len, :] = acc
+
+
+def _fa_fwd_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref,
+                   q_pk, k_pk, v_pk, S, T,
+                   *, scale, gb, h, hc, np_len, n, d):
+    HD = h * d
+    HN = h * np_len
+    # kv-pad bias on lanes >= n (pad queries flow through; their grads are
+    # sliced off downstream — same contract as the colcat kernel)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_len), 1)
+    kv_bias = jnp.where(lane < n, 0.0, NEG_INF).astype(jnp.float32)
+
+    for s in range(gb):
+        lo = s * np_len
+        _pack_qkv(qkv_ref, lo, np_len, h, d, HD, q_pk, k_pk, v_pk)
+        _scores(q_pk, k_pk, S, scale, h, hc, np_len)
+        _mix(wl_ref, S, T, h, np_len)                    # T = conv_l-mixed scores
+        x = T[...] + kv_bias
+        m = jnp.max(x, axis=-1, keepdims=True)
+        e = jnp.exp(x - m)
+        den = jnp.sum(e, axis=-1, keepdims=True)
+        S[...] = e / den                                 # S = P' (probs)
+        p_ref[s * HN:(s + 1) * HN, :] = S[...].astype(p_ref.dtype)
+        _mix(ww_ref, S, T, h, np_len)                    # T = Pm (conv_w-mixed)
+        for j in range(h):
+            blk = slice(j * np_len, (j + 1) * np_len)
+            o_ref[lo:lo + np_len, j * d:(j + 1) * d] = jax.lax.dot_general(
+                T[blk, :].astype(jnp.bfloat16), v_pk[blk, :],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+            ).astype(o_ref.dtype)
+
+
+def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
+                   dqkv_ref, dwl_ref, dwwT_ref,
+                   q_pk, k_pk, v_pk, do_pk, S, A, B2, Wl_s, Ww_s,
+                   *, scale, gb, h, hc, np_len, n, d):
+    """Emits dwl and dww^T (the host transposes dww — a [h,h] no-op there).
+
+    Column assembly: for each fixed g, ``sum(dPm_g . P'_j)`` over all j is
+    one repeat + lane-reduce + indicator matmul producing the [h,1] column
+    dww[g, :]^T, stored into Ww_s[:, g]; likewise dwl columns.
+    """
+    HD = h * d
+    HN = h * np_len
+    # Drow[(j,r), b] = 1 if j == b  (column assembly for dwl/dww)
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
+    Drow = (r1 // np_len == c1).astype(jnp.bfloat16)
+
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dwl_ref[...] = jnp.zeros_like(dwl_ref)
+        dwwT_ref[...] = jnp.zeros_like(dwwT_ref)
+
+    Wl_s[...] = jnp.zeros_like(Wl_s)
+    Ww_s[...] = jnp.zeros_like(Ww_s)
+
+    for s in range(gb):
+        lo = s * np_len
+        _pack_qkv(qkv_ref, lo, np_len, h, d, HD, q_pk, k_pk, v_pk)
+        for j in range(h):
+            do_pk[j * np_len:(j + 1) * np_len, :] = (
+                do_ref[lo:lo + np_len, j * d:(j + 1) * d].astype(do_pk.dtype)
+            )
+        # recompute true per-head scores (needed for dwl only; cheaper than
+        # a second [HN, Np] save+reload round trip through HBM)
+        _scores(q_pk, k_pk, S, scale, h, hc, np_len)
+
+        pp = p_ref[s * HN:(s + 1) * HN, :].astype(jnp.float32)  # P' saved
+
+        # dPm_j = do_j v_j^T   (chunked like the score dots)
+        for c in range(h // hc):
+            base = c * hc * np_len
+            dc = jax.lax.dot_general(
+                do_pk[base:base + hc * np_len, :], v_pk[base:base + hc * np_len, :],
+                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+            if hc == 1:
+                A[base:base + np_len, :] = dc
+            else:
+                for j in range(hc):
+                    A[base + j * np_len:base + (j + 1) * np_len, :] = (
+                        dc[j * np_len:(j + 1) * np_len, j * np_len:(j + 1) * np_len]
+                    )
+        # dv_j = Pm_j^T do_j ; Pm recomputed from saved P' (tile FMAs)
+        _mix(ww_ref, pp, B2, h, np_len)
+        for j in range(h):
+            blk = slice(j * np_len, (j + 1) * np_len)
+            dqkv_ref[lo:lo + np_len, 2 * HD + j * d:2 * HD + (j + 1) * d] = (
+                jax.lax.dot_general(
+                    B2[blk, :].astype(jnp.bfloat16), do_pk[blk, :],
+                    (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+                ).astype(dqkv_ref.dtype)
+            )
+        # dww[g, j] = sum dPm_g . P'_j -> column g of dww^T
+        for g in range(h):
+            t = pp * pltpu.repeat(A[g * np_len:(g + 1) * np_len, :], h, 0)
+            r = jnp.sum(t, axis=-1, keepdims=True).astype(jnp.bfloat16)  # [HN,1]
+            col = jax.lax.dot_general(
+                Drow, r, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)                      # [h,1]
+            Ww_s[:, g:g + 1] = Ww_s[:, g:g + 1] + col
+
+        # dP'_b = sum_g ww[g, b] * dPm_g   (transpose mix)
+        _mix(ww_ref, A, B2, h, np_len, transpose=True)
+        # softmax bwd rows: dS'_b = P' . (dP' - rowsum(P'.dP'))
+        pdp = pp * B2[...]
+        rs = jnp.sum(pdp, axis=-1, keepdims=True)
+        A[...] = pp * (B2[...] - rs)                      # A = dS'
+        # dwl[b, j] = sum dS'_b . S_j -> column j of dwl
+        for j in range(h):
+            t = A[...] * pltpu.repeat(S[j * np_len:(j + 1) * np_len, :], h, 0)
+            r = jnp.sum(t, axis=-1, keepdims=True).astype(jnp.bfloat16)
+            col = jax.lax.dot_general(
+                Drow, r, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [h, 1]
+            Wl_s[:, j:j + 1] = Wl_s[:, j:j + 1] + col
+        # dS_j = sum_b wl[b, j] * dS'_b   (transpose mix), * scale
+        _mix(wl_ref, A, B2, h, np_len, transpose=True)
+        for j in range(h):
+            blk = slice(j * np_len, (j + 1) * np_len)
+            ds_b = (B2[blk, :] * scale).astype(jnp.bfloat16)
+            dqkv_ref[lo:lo + np_len, j * d:(j + 1) * d] = jax.lax.dot_general(
+                ds_b, k_pk[blk, :], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+            dqkv_ref[lo:lo + np_len, HD + j * d:HD + (j + 1) * d] = (
+                jax.lax.dot_general(
+                    ds_b, q_pk[blk, :], (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+            )
+
+    dwl_ref[...] += Wl_s[...]
+    dwwT_ref[...] += Ww_s[...]
+
+
+def _fa_fwd_call(qkv2, wl, ww, scale, n, gb, np_len, h, d, save_p):
+    rows_total, HD3 = qkv2.shape
+    HD = HD3 // 3
+    HN = h * np_len
+    hc = _pick_hc(h, np_len)
+    rows_blk = gb * np_len
+    blk3 = pl.BlockSpec((rows_blk, HD3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w_blk = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    p_blk = pl.BlockSpec((gb * HN, np_len), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fa_fwd_kernel, scale=scale, gb=gb, h=h, hc=hc,
+                          np_len=np_len, n=n, d=d),
+        grid=(rows_total // rows_blk,),
+        in_specs=[blk3, w_blk, w_blk],
+        out_specs=(blk, p_blk),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows_total, HD), qkv2.dtype),
+            jax.ShapeDtypeStruct((rows_total * h, np_len), jnp.bfloat16),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((HN, d), jnp.bfloat16),
+            pltpu.VMEM((HN, d), jnp.bfloat16),
+            pltpu.VMEM((HN, d), jnp.bfloat16),
+            pltpu.VMEM((HN, np_len), jnp.float32),
+            pltpu.VMEM((HN, np_len), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(qkv2, wl, ww)
+    return out if save_p else out[0]
+
+
+def _fa_bwd_call(qkv2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
+    rows_total, HD3 = qkv2.shape
+    HD = HD3 // 3
+    HN = h * np_len
+    hc = _pick_hc(h, np_len)
+    rows_blk = gb * np_len
+    blk3 = pl.BlockSpec((rows_blk, HD3), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    w_blk = pl.BlockSpec((h, h), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    p_blk = pl.BlockSpec((gb * HN, np_len), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dqkv, dwl, dwwT = pl.pallas_call(
+        functools.partial(_fa_bwd_kernel, scale=scale, gb=gb, h=h, hc=hc,
+                          np_len=np_len, n=n, d=d),
+        grid=(rows_total // rows_blk,),
+        in_specs=[blk3, w_blk, w_blk, blk, p_blk],
+        out_specs=[blk3, w_blk, w_blk],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_total, HD3), qkv2.dtype),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+            jax.ShapeDtypeStruct((h, h), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((HN, d), jnp.bfloat16),
+            pltpu.VMEM((HN, d), jnp.bfloat16),
+            pltpu.VMEM((HN, d), jnp.bfloat16),
+            pltpu.VMEM((HN, d), jnp.bfloat16),
+            pltpu.VMEM((HN, np_len), jnp.float32),
+            pltpu.VMEM((HN, np_len), jnp.float32),
+            pltpu.VMEM((HN, np_len), jnp.float32),
+            pltpu.VMEM((h, h), jnp.float32),
+            pltpu.VMEM((h, h), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(qkv2, wl, ww, do2, p2)
+    return dqkv, dwl, dwwT.T
+
+
+def _pick_gb(B: int, cap: int = 8) -> int:
+    import os
+
+    env = os.environ.get("DISTILLCLIP_TF_FA_GB")
+    if env and B % int(env) == 0:
+        return int(env)
+    for g in (cap, 4, 2):
+        if B % g == 0:
+            return g
+    return 1
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def tf_factored_qkv(qkvf, wl, ww, scale, n, heads, np_len):
+    rows_total, HD3 = qkvf.shape
+    d = HD3 // 3 // heads
+    gb = _pick_gb(rows_total // np_len)
+    return _fa_fwd_call(qkvf, wl, ww, float(scale), n, gb, np_len, heads, d,
+                        save_p=False)
+
+
+def _tf_factored_fwd(qkvf, wl, ww, scale, n, heads, np_len):
+    rows_total, HD3 = qkvf.shape
+    d = HD3 // 3 // heads
+    gb = _pick_gb(rows_total // np_len)
+    of, pf = _fa_fwd_call(qkvf, wl, ww, float(scale), n, gb, np_len, heads, d,
+                          save_p=True)
+    return of, (qkvf, wl, ww, pf)
+
+
+def _tf_factored_bwd(scale, n, heads, np_len, res, do):
+    qkvf, wl, ww, pf = res
+    rows_total, HD3 = qkvf.shape
+    d = HD3 // 3 // heads
+    gb = _pick_gb(rows_total // np_len)
+    dqkv, dwl, dww = _fa_bwd_call(qkvf, wl, ww, do, pf, float(scale), n, gb,
+                                  np_len, heads, d)
+    return dqkv, dwl.astype(wl.dtype), dww.astype(ww.dtype)
+
+
+tf_factored_qkv.defvjp(_tf_factored_fwd, _tf_factored_bwd)

@@ -5,6 +5,8 @@ on TPU hardware they compile via Mosaic.  The bench/TPU side is exercised by
 bench.py runs.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -303,3 +305,57 @@ def test_sharded_kernel_grads():
                 )
     finally:
         set_active_mesh(prev)
+
+
+def test_factored_transform_matches_oracle():
+    """transform_factored.tf_factored_qkv == the unfused XLA math, f+b.
+
+    The factored kernel (true-FLOP per-head dots + VPU head mixes) must be
+    interchangeable with the colcat kernel: same API, same values, same
+    grads including dwl/dww (which the kernel emits via column assembly /
+    a device-side transpose).  Covers both text-like (Np=80, h=12, d=64)
+    and image-like (Np=64, h=24, d=32) geometries, and an hc>1 chunking.
+    """
+    from distillclip_tpu.ops.transform_attention import _xla_transform_rows
+    from distillclip_tpu.ops.transform_factored import tf_factored_qkv
+
+    for (B, Np, h, d, n, hc) in (
+        (2, 80, 4, 16, 77, None),
+        (2, 64, 8, 16, 50, None),
+        (2, 64, 8, 16, 50, 4),
+    ):
+        if hc is not None:
+            os.environ["DISTILLCLIP_TF_HC"] = str(hc)
+        else:
+            os.environ.pop("DISTILLCLIP_TF_HC", None)
+        try:
+            HD = h * d
+            rng = np.random.default_rng(1)
+            qkv = jnp.asarray(rng.standard_normal((B * Np, 3 * HD)) * 0.5,
+                              jnp.float32)
+            wl = jnp.asarray(rng.standard_normal((h, h)) * 0.3, jnp.float32)
+            ww = jnp.asarray(rng.standard_normal((h, h)) * 0.3, jnp.float32)
+            do = jnp.asarray(rng.standard_normal((B * Np, HD)), jnp.float32)
+            scale = 1.0 / np.sqrt(d)
+
+            def ref(qkv, wl, ww):
+                to3 = lambda t: t.reshape(B, Np, HD)
+                return _xla_transform_rows(
+                    to3(qkv[:, :HD]), to3(qkv[:, HD:2 * HD]),
+                    to3(qkv[:, 2 * HD:]), wl, ww, scale, n, h
+                ).reshape(B * Np, HD)
+
+            def fac(qkv, wl, ww):
+                return tf_factored_qkv(qkv, wl, ww, scale, n, h, Np)
+
+            o_r, vjp_r = jax.vjp(ref, qkv, wl, ww)
+            o_f, vjp_f = jax.vjp(fac, qkv, wl, ww)
+
+            def rel(a, b):
+                return float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
+
+            assert rel(o_f, o_r) < 1e-2
+            for name, a, b in zip(("dqkv", "dwl", "dww"), vjp_f(do), vjp_r(do)):
+                assert rel(a, b) < 2e-2, (name, B, Np, h, d, hc)
+        finally:
+            os.environ.pop("DISTILLCLIP_TF_HC", None)
