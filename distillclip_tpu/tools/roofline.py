@@ -117,17 +117,45 @@ def image_components(B: int, depth=6, repeats=2, N=50, Np=64, h=24, d=32):
                            d=d, vocab=0, out_dim=512)
 
 
+def joint_components(B: int) -> list:
+    """Stage-3 joint step (configs/final/l_clip.yaml): live image student
+    (depth 6, h=24, N=50->64) + text student (depth 4, h=12, N=77->80) +
+    LIVE frozen image teacher (ViT-B/32: 12 plain layers, fwd only —
+    augmented inputs cannot be cached) + cached text-teacher reps."""
+    comps = []
+    for c in image_components(B):
+        c.name = "img-stu " + c.name
+        comps.append(c)
+    for c in text_components(B, out_dim=512):
+        c.name = "txt-stu " + c.name
+        comps.append(c)
+    # teacher ViT-B/32 image tower, fwd only: 12 layers, C=768, h=12, N=50
+    rows_t = B * 50
+    GF = 1e9
+    tC = 768
+    t_dense = 2 * rows_t * (tC * 3 * tC + tC * tC + 2 * tC * 4 * tC) * 12
+    t_attn = 2 * B * 2 * 12 * 50 * 50 * 64 * 12
+    comps.append(Component("img-teacher fwd (12L, no bwd)",
+                           (t_dense + t_attn) / GF,
+                           rows_t * tC * 2 * 4 * 12 / 1e9))
+    # patchify embeds (32x32x3 -> 768 matmul) student+teacher
+    comps.append(Component("patchify embeds",
+                           2 * B * 49 * 3072 * 768 * 2 * 2 / GF,
+                           B * 224 * 224 * 3 * 2 / 1e9))
+    return comps
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--stage", choices=["text", "image"], default="text")
+    ap.add_argument("--stage", choices=["text", "image", "joint"], default="text")
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--step-ms", type=float, default=None,
                     help="measured full-step ms to show share columns")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args(argv)
 
-    comps = (text_components(args.batch) if args.stage == "text"
-             else image_components(args.batch))
+    comps = {"text": text_components, "image": image_components,
+             "joint": joint_components}[args.stage](args.batch)
     total_gf = sum(c.gflops for c in comps)
     total_issued = sum((c.issued_gflops or c.gflops) for c in comps)
     floor_ms = sum(c.min_ms for c in comps)
