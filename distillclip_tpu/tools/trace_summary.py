@@ -57,7 +57,7 @@ def _device_pids(meta_events) -> set:
     return pids
 
 
-def summarize(trace_root: str, top: int = 25, steps: int = 3):
+def summarize(trace_root: str, top: int = 25, steps: int = 3, ops: int = 0):
     path = _find_trace_file(trace_root)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
@@ -73,6 +73,8 @@ def summarize(trace_root: str, top: int = 25, steps: int = 3):
 
     fam_us = collections.Counter()
     fam_count = collections.Counter()
+    op_us = collections.Counter()
+    op_count = collections.Counter()
     total_us = 0.0
     for ev in events:
         if ev.get("ph") != "X" or ev.get("pid") not in dev_pids:
@@ -84,6 +86,10 @@ def summarize(trace_root: str, top: int = 25, steps: int = 3):
         fam = _family(ev.get("name", "?"))
         fam_us[fam] += dur
         fam_count[fam] += 1
+        if ops:
+            name = ev.get("name", "?").split("/")[-1]
+            op_us[name] += dur
+            op_count[name] += 1
         total_us += dur
 
     rows = fam_us.most_common(top)
@@ -100,6 +106,16 @@ def summarize(trace_root: str, top: int = 25, steps: int = 3):
             for fam, us in rows
         ],
     }
+    if ops:
+        out["ops"] = [
+            {
+                "op": name,
+                "ms_per_step": round(us / 1000.0 / steps, 3),
+                "pct": round(100.0 * us / total_us, 1) if total_us else 0.0,
+                "count": op_count[name],
+            }
+            for name, us in op_us.most_common(ops)
+        ]
     return out
 
 
@@ -109,9 +125,11 @@ def main(argv=None):
     ap.add_argument("--top", type=int, default=25)
     ap.add_argument("--steps", type=int, default=3,
                     help="traced step count (bench.py --trace records 3)")
+    ap.add_argument("--ops", type=int, default=0,
+                    help="also list the top-N individual ops (fusion.123 etc.)")
     ap.add_argument("--json", action="store_true", help="print raw JSON")
     args = ap.parse_args(argv)
-    out = summarize(args.trace_dir, top=args.top, steps=args.steps)
+    out = summarize(args.trace_dir, top=args.top, steps=args.steps, ops=args.ops)
     if args.json:
         json.dump(out, sys.stdout, indent=1)
         print()
@@ -121,6 +139,10 @@ def main(argv=None):
     print(f"{'ms/step':>9}  {'%':>5}  {'n':>5}  family")
     for r in out["families"]:
         print(f"{r['ms_per_step']:>9.3f}  {r['pct']:>5.1f}  {r['count']:>5}  {r['family']}")
+    if out.get("ops"):
+        print(f"\n{'ms/step':>9}  {'%':>5}  {'n':>5}  op")
+        for r in out["ops"]:
+            print(f"{r['ms_per_step']:>9.3f}  {r['pct']:>5.1f}  {r['count']:>5}  {r['op']}")
 
 
 if __name__ == "__main__":
