@@ -53,9 +53,14 @@ class StudentLayerNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, raw: bool = False):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        if raw:
+            # fused-consumer mode: the caller folds this LN into the next
+            # kernel (dense_act_ln); params stay declared here so the
+            # parameter tree / checkpoints are identical either way
+            return scale, bias
         if x.ndim == 2:
             # 2D rows mode: fused Pallas LN (see models/layers.py LayerNorm)
             from distillclip_tpu.ops.layer_norm import layer_norm_rows
@@ -329,6 +334,24 @@ def _fc1_mode() -> str:
     return os.environ.get("DISTILLCLIP_FC1", "kernel")
 
 
+def _mlp_ln_fused(x) -> bool:
+    """Fold norm2 into the fc1 kernel (2D rows mode, kernel path only).
+
+    DISTILLCLIP_FC1_LN=0 opts out (A/B lever; the standalone fused-LN
+    kernel path stays available either way).
+    """
+    import os
+
+    from distillclip_tpu.ops.flash_attention import flash_enabled
+
+    return (
+        x.ndim == 2
+        and flash_enabled()
+        and _fc1_mode() == "kernel"
+        and os.environ.get("DISTILLCLIP_FC1_LN", "1") != "0"
+    )
+
+
 class _Fc1Act(nn.Module):
     """fc1 + activation via the fused Pallas forward (ops/fc1_act.py).
 
@@ -342,8 +365,8 @@ class _Fc1Act(nn.Module):
     kernel_init: Any = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
-        from distillclip_tpu.ops.fc1_act import dense_act
+    def __call__(self, x: Array, ln=None) -> Array:
+        from distillclip_tpu.ops.fc1_act import dense_act, dense_act_ln
 
         k = self.param("kernel", self.kernel_init or trunc_normal_02,
                        (x.shape[-1], self.features), jnp.float32)
@@ -352,6 +375,12 @@ class _Fc1Act(nn.Module):
         # same dtype promotion as nn.Dense(dtype=None): params arrive bf16
         # from cast_to_compute in train steps, fp32 at init/eval
         ct = jnp.promote_types(x.dtype, k.dtype)
+        if ln is not None:
+            # norm2 folded into the kernel (its params pass through raw;
+            # LN math is fp32 in-kernel like the standalone path)
+            ls, lb, eps = ln
+            return dense_act_ln(x.astype(ct), ls, lb, k.astype(ct),
+                                b.astype(ct), self.act, eps)
         return dense_act(x.astype(ct), k.astype(ct), b.astype(ct), self.act)
 
 
@@ -363,7 +392,7 @@ class Mlp(nn.Module):
     drop: float = 0.0
 
     @nn.compact
-    def __call__(self, x: Array, deterministic: bool = True) -> Array:
+    def __call__(self, x: Array, deterministic: bool = True, ln=None) -> Array:
         from distillclip_tpu.ops.flash_attention import flash_enabled
 
         if x.ndim == 2 and flash_enabled() and _fc1_mode() == "kernel":
@@ -374,8 +403,10 @@ class Mlp(nn.Module):
             # measured SLOWER (154.5 -> 165.7 ms text step): the backward
             # erf recompute doesn't fuse; it becomes its own [rows, 4C] pass
             x = _Fc1Act(self.hidden_features, act="gelu_exact",
-                        name="fc1")(x)
+                        name="fc1")(x, ln=ln)
         else:
+            if ln is not None:  # pragma: no cover - blocks only fuse on the kernel path
+                raise ValueError("ln fusion requires the fc1 kernel path")
             x = StudentDense(self.hidden_features, name="fc1")(x)
             x = jax.nn.gelu(x, approximate=False)
         if self.drop > 0.0 and not deterministic:
@@ -452,7 +483,14 @@ class RepeatedMiniBlock(nn.Module):
                 else None
             )
             x = x + drop_path(a_out.hidden, self.drop_paths[r], deterministic, dp_rng)
-            m_out = mlp(norm2[r](x), deterministic=deterministic)
+            if _mlp_ln_fused(x):
+                # norm2 folded into the fc1 kernel: saves the standalone LN
+                # kernel's full [rows, C] write + re-read per repeat
+                ls, lb = norm2[r](x, raw=True)
+                m_out = mlp(x, deterministic=deterministic,
+                            ln=(ls, lb, norm2[r].epsilon))
+            else:
+                m_out = mlp(norm2[r](x), deterministic=deterministic)
             dp_rng2 = (
                 self.make_rng("droppath")
                 if (not deterministic and self.drop_paths[r] > 0.0)

@@ -179,3 +179,121 @@ def dense_act(x: Array, w: Array, b: Array, act: str = "gelu_exact") -> Array:
         lambda xs, ws, bs: _dense_act(xs, ws, bs, act),
         (x,), (w, b), x.shape[0],
     )
+
+
+# ---------------------------------------------------------------------------
+# LN + fc1 + activation: the MLP's LayerNorm folded into the fc1 kernel
+# ---------------------------------------------------------------------------
+
+def _fc1_ln_kernel(x_ref, ls_ref, lb_ref, w_ref, b_ref,
+                   u_ref, e_ref, m_ref, r_ref, *, act, eps):
+    """LN prologue fused into the fc1 matmul (norm2 feeds ONLY fc1).
+
+    Saves the separate LN kernel's full [rows, C] write + re-read — LN is
+    per-row over C, so the moments are local to the row block.  Emits
+    (mean, rstd) as backward residuals; the backward recombines xhat from
+    (x, mean, rstd) inside its dW operand read (plain XLA).
+    """
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn = (x - mean) * rstd * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
+    u = jax.lax.dot_general(
+        xn.astype(x_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)
+    if act == "gelu_exact":
+        e = _erf_approx(u * _INV_SQRT2)
+    elif act == "quick_gelu":
+        e = jax.nn.sigmoid(1.702 * u)
+    else:  # pragma: no cover
+        raise ValueError(act)
+    u_ref[...] = u.astype(u_ref.dtype)
+    e_ref[...] = e.astype(e_ref.dtype)
+    m_ref[...] = mean
+    r_ref[...] = rstd
+
+
+def _fc1_ln_call(x, ls, lb, w, b, act, eps):
+    rows, C = x.shape
+    H = w.shape[1]
+    blk_rows = _pick_rows_blk(rows)
+    xblk = pl.BlockSpec((blk_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vblk = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((blk_rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((blk_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fc1_ln_kernel, act=act, eps=eps),
+        grid=(rows // blk_rows,),
+        in_specs=[xblk, vblk, vblk, wblk, bblk],
+        out_specs=(oblk, oblk, sblk, sblk),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, H), x.dtype),
+            jax.ShapeDtypeStruct((rows, H), x.dtype),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x, ls.reshape(1, C), lb.reshape(1, C), w, b.reshape(1, H))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _dense_act_ln(x, ls, lb, w, b, act, eps):
+    u, e, _, _ = _fc1_ln_call(x, ls, lb, w, b, act, eps)
+    return _recombine(u, e, act)
+
+
+def _dense_act_ln_fwd(x, ls, lb, w, b, act, eps):
+    u, e, mean, rstd = _fc1_ln_call(x, ls, lb, w, b, act, eps)
+    return _recombine(u, e, act), (x, ls, lb, w, u, e, mean, rstd)
+
+
+def _dense_act_ln_bwd(act, eps, res, dh):
+    x, ls, lb, w, u, e, mean, rstd = res
+    uf = u.astype(jnp.float32)
+    ef = e.astype(jnp.float32)
+    if act == "gelu_exact":
+        gp = 0.5 * (1.0 + ef) + uf * jnp.exp(-0.5 * uf * uf) * _INV_SQRT2PI
+    else:  # quick_gelu
+        gp = ef + 1.702 * uf * ef * (1.0 - ef)
+    du = (dh.astype(jnp.float32) * gp).astype(dh.dtype)
+    xhat = (x.astype(jnp.float32) - mean) * rstd              # [rows, C] f32
+    xn = (xhat * ls.astype(jnp.float32) + lb.astype(jnp.float32)).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        xn, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    db = jnp.sum(du.astype(jnp.float32), axis=0).astype(w.dtype)
+    dxn = jax.lax.dot_general(
+        du, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )                                                          # [rows, C] f32
+    dls = jnp.sum(dxn * xhat, axis=0).astype(ls.dtype)
+    dlb = jnp.sum(dxn, axis=0).astype(lb.dtype)
+    dxhat = dxn * ls.astype(jnp.float32)
+    dx = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return dx.astype(x.dtype), dls, dlb, dw, db
+
+
+_dense_act_ln.defvjp(_dense_act_ln_fwd, _dense_act_ln_bwd)
+
+
+def dense_act_ln(x: Array, ls: Array, lb: Array, w: Array, b: Array,
+                 act: str = "gelu_exact", eps: float = 1e-5) -> Array:
+    """h = act(LN(x; ls, lb) @ w + b), LN fused into the fc1 kernel.
+
+    Same sharding contract as :func:`dense_act` (any row split is valid).
+    """
+    return shard_rows_call(
+        lambda xs, lss, lbs, ws, bs: _dense_act_ln(xs, lss, lbs, ws, bs, act,
+                                                   float(eps)),
+        (x,), (ls, lb, w, b), x.shape[0],
+    )

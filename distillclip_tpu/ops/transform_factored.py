@@ -100,12 +100,17 @@ def _scores(q_pk, k_pk, S, scale, h, hc, np_len):
 
 
 def _mix(W_ref, src, dst, h, np_len, transpose=False):
-    """dst[b] = sum_j W[b,j] * src[j] (tile FMAs; W[j,b] if transpose)."""
+    """dst[b] = sum_j W[b,j] * src[j] (tile FMAs; W[j,b] if transpose).
+
+    W is loaded once as a register value; the h^2 scalar coefficients are
+    vreg extracts, not VMEM loads.
+    """
+    W = W_ref[...]
     for b in range(h):
-        w0 = W_ref[0:1, b:b + 1] if transpose else W_ref[b:b + 1, 0:1]
+        w0 = W[0:1, b:b + 1] if transpose else W[b:b + 1, 0:1]
         acc = w0 * src[0:np_len, :]
         for j in range(1, h):
-            wj = W_ref[j:j + 1, b:b + 1] if transpose else W_ref[b:b + 1, j:j + 1]
+            wj = W[j:j + 1, b:b + 1] if transpose else W[b:b + 1, j:j + 1]
             acc = acc + wj * src[j * np_len:(j + 1) * np_len, :]
         dst[b * np_len:(b + 1) * np_len, :] = acc
 

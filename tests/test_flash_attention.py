@@ -359,3 +359,39 @@ def test_factored_transform_matches_oracle():
                 assert rel(a, b) < 2e-2, (name, B, Np, h, d, hc)
         finally:
             os.environ.pop("DISTILLCLIP_TF_HC", None)
+
+
+def test_dense_act_ln_matches_oracle():
+    """dense_act_ln == LayerNorm(fp32) -> dense -> GELU, values and grads."""
+    from distillclip_tpu.ops.fc1_act import dense_act_ln
+
+    rows, C, H = 64, 32, 128
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal((rows, C)) * 1.7 + 0.3, jnp.float32)
+    ls = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((C, H)) * 0.1, jnp.float32)
+    b = jnp.asarray(0.05 * rng.standard_normal(H), jnp.float32)
+    dh = jnp.asarray(rng.standard_normal((rows, H)), jnp.float32)
+    eps = 1e-5
+
+    def ref(x, ls, lb, w, b):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        xn = (x32 - mu) * jax.lax.rsqrt(var + eps) * ls + lb
+        u = xn.astype(x.dtype) @ w + b
+        return jax.nn.gelu(u, approximate=False)
+
+    def fused(x, ls, lb, w, b):
+        return dense_act_ln(x, ls, lb, w, b, "gelu_exact", eps)
+
+    o_r, vjp_r = jax.vjp(ref, x, ls, lb, w, b)
+    o_f, vjp_f = jax.vjp(fused, x, ls, lb, w, b)
+
+    def rel(a, e):
+        return float(jnp.abs(a - e).max() / (jnp.abs(e).max() + 1e-9))
+
+    assert rel(o_f, o_r) < 5e-3
+    for name, a, e in zip(("dx", "dls", "dlb", "dw", "db"), vjp_f(dh), vjp_r(dh)):
+        assert rel(a, e) < 1e-2, name
