@@ -97,6 +97,26 @@ class StudentDense(nn.Dense):
         )
 
 
+class _DenseLnProj(nn.Module):
+    """LN + dense via the fused kernel; same param tree as StudentDense."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: Array, ln) -> Array:
+        from distillclip_tpu.ops.fc1_act import dense_ln
+
+        k = self.param("kernel", trunc_normal_02, (x.shape[-1], self.features),
+                       jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros, (self.features,),
+                        jnp.float32) if self.use_bias else None)
+        ct = jnp.promote_types(x.dtype, k.dtype)
+        ls, lb, eps = ln
+        return dense_ln(x.astype(ct), ls, lb, k.astype(ct),
+                        None if b is None else b.astype(ct), eps)
+
+
 def drop_path(x: Array, rate: float, deterministic: bool, rng: Optional[Array]) -> Array:
     """Stochastic depth on the residual branch (per sample)."""
     if deterministic or rate == 0.0:
@@ -137,6 +157,7 @@ class MiniAttention(nn.Module):
         kv_len: Optional[int] = None,
         deterministic: bool = True,
         seq: Optional[int] = None,
+        ln=None,
     ) -> AttentionOutput:
         # 2D rows mode: x is [B*seq, C] (tower-level flattening; keeps XLA
         # layouts row-major around the kernels — BENCH_NOTES round 3).
@@ -152,7 +173,14 @@ class MiniAttention(nn.Module):
         head_dim = C // self.num_heads
         scale = self.qk_scale or head_dim ** -0.5
 
-        qkv = StudentDense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
+        if ln is not None:
+            # norm1 folded into the qkv dense kernel (ops/fc1_act.dense_ln):
+            # the qkv output crosses the attention custom-call boundary and
+            # is materialized either way; fusing saves the standalone LN's
+            # [rows, C] write + re-read.  Param tree identical ("qkv").
+            qkv = _DenseLnProj(3 * C, use_bias=self.qkv_bias, name="qkv")(x, ln)
+        else:
+            qkv = StudentDense(3 * C, use_bias=self.qkv_bias, name="qkv")(x)
 
         from distillclip_tpu.ops.flash_attention import flash_enabled
 
@@ -475,8 +503,14 @@ class RepeatedMiniBlock(nn.Module):
         scores, probs, reps = [], [], []
         value_map = None
         for r in range(self.repeated_times):
-            a_out = attn(norm1[r](x), r, flags, kv_len=kv_len,
-                         deterministic=deterministic, seq=seq)
+            if _mlp_ln_fused(x):
+                ls1, lb1 = norm1[r](x, raw=True)
+                a_out = attn(x, r, flags, kv_len=kv_len,
+                             deterministic=deterministic, seq=seq,
+                             ln=(ls1, lb1, norm1[r].epsilon))
+            else:
+                a_out = attn(norm1[r](x), r, flags, kv_len=kv_len,
+                             deterministic=deterministic, seq=seq)
             dp_rng = (
                 self.make_rng("droppath")
                 if (not deterministic and self.drop_paths[r] > 0.0)

@@ -297,3 +297,121 @@ def dense_act_ln(x: Array, ls: Array, lb: Array, w: Array, b: Array,
                                                    float(eps)),
         (x,), (ls, lb, w, b), x.shape[0],
     )
+
+
+# ---------------------------------------------------------------------------
+# LN + plain dense: norm1 folded into the qkv projection
+# ---------------------------------------------------------------------------
+
+def _dense_ln_kernel(x_ref, ls_ref, lb_ref, w_ref, b_ref,
+                     u_ref, m_ref, r_ref, *, eps, has_bias):
+    """LN prologue fused into a plain dense (the attention qkv projection).
+
+    norm1 feeds only the qkv dense, whose output already crosses a custom-
+    call boundary (the attention kernel) — XLA materializes it regardless,
+    so the fusion saves exactly the standalone LN kernel's [rows, C]
+    write + re-read.
+    """
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn = (x - mean) * rstd * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
+    u = jax.lax.dot_general(
+        xn.astype(x_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if has_bias:
+        u = u + b_ref[...].astype(jnp.float32)
+    u_ref[...] = u.astype(u_ref.dtype)
+    m_ref[...] = mean
+    r_ref[...] = rstd
+
+
+def _dense_ln_call(x, ls, lb, w, b, eps):
+    rows, C = x.shape
+    H = w.shape[1]
+    has_bias = b is not None
+    blk_rows = _pick_rows_blk(rows)
+    xblk = pl.BlockSpec((blk_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vblk = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((blk_rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((blk_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    args = [x, ls.reshape(1, C), lb.reshape(1, C), w]
+    in_specs = [xblk, vblk, vblk, wblk]
+    if has_bias:
+        args.append(b.reshape(1, H))
+        in_specs.append(bblk)
+    else:
+        args.append(jnp.zeros((1, 1), x.dtype))  # placeholder operand
+        in_specs.append(pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.VMEM))
+    return pl.pallas_call(
+        functools.partial(_dense_ln_kernel, eps=eps, has_bias=has_bias),
+        grid=(rows // blk_rows,),
+        in_specs=in_specs,
+        out_specs=(oblk, sblk, sblk),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, H), x.dtype),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((rows, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(*args)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _dense_ln(x, ls, lb, w, b, eps):
+    u, _, _ = _dense_ln_call(x, ls, lb, w, b, eps)
+    return u
+
+
+def _dense_ln_fwd(x, ls, lb, w, b, eps):
+    u, mean, rstd = _dense_ln_call(x, ls, lb, w, b, eps)
+    return u, (x, ls, lb, w, b, mean, rstd)
+
+
+def _dense_ln_bwd(eps, res, du):
+    x, ls, lb, w, b, mean, rstd = res
+    du32 = du.astype(jnp.float32)
+    xhat = (x.astype(jnp.float32) - mean) * rstd
+    xn = (xhat * ls.astype(jnp.float32) + lb.astype(jnp.float32)).astype(x.dtype)
+    dw = jax.lax.dot_general(
+        xn, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).astype(w.dtype)
+    db = (jnp.sum(du32, axis=0).astype(w.dtype) if b is not None else None)
+    dxn = jax.lax.dot_general(
+        du, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    dls = jnp.sum(dxn * xhat, axis=0).astype(ls.dtype)
+    dlb = jnp.sum(dxn, axis=0).astype(lb.dtype)
+    dxhat = dxn * ls.astype(jnp.float32)
+    dx = rstd * (
+        dxhat
+        - jnp.mean(dxhat, axis=-1, keepdims=True)
+        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    )
+    return dx.astype(x.dtype), dls, dlb, dw, db
+
+
+_dense_ln.defvjp(_dense_ln_fwd, _dense_ln_bwd)
+
+
+def dense_ln(x: Array, ls: Array, lb: Array, w: Array, b=None,
+             eps: float = 1e-5) -> Array:
+    """u = LN(x; ls, lb) @ w (+ b), LN fused into the dense kernel."""
+    if b is None:
+        return shard_rows_call(
+            lambda xs, lss, lbs, ws: _dense_ln(xs, lss, lbs, ws, None,
+                                               float(eps)),
+            (x,), (ls, lb, w), x.shape[0],
+        )
+    return shard_rows_call(
+        lambda xs, lss, lbs, ws, bs: _dense_ln(xs, lss, lbs, ws, bs,
+                                               float(eps)),
+        (x,), (ls, lb, w, b), x.shape[0],
+    )

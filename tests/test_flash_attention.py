@@ -395,3 +395,46 @@ def test_dense_act_ln_matches_oracle():
     assert rel(o_f, o_r) < 5e-3
     for name, a, e in zip(("dx", "dls", "dlb", "dw", "db"), vjp_f(dh), vjp_r(dh)):
         assert rel(a, e) < 1e-2, name
+
+
+def test_dense_ln_matches_oracle():
+    """dense_ln (norm1+qkv fusion) == LN -> dense, values and grads, with
+    and without bias."""
+    from distillclip_tpu.ops.fc1_act import dense_ln
+
+    rows, C, H = 64, 32, 96
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.standard_normal((rows, C)) * 1.3 - 0.2, jnp.float32)
+    ls = jnp.asarray(1.0 + 0.1 * rng.standard_normal(C), jnp.float32)
+    lb = jnp.asarray(0.1 * rng.standard_normal(C), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((C, H)) * 0.1, jnp.float32)
+    b = jnp.asarray(0.05 * rng.standard_normal(H), jnp.float32)
+    du = jnp.asarray(rng.standard_normal((rows, H)), jnp.float32)
+    eps = 1e-5
+
+    def rel(a, e):
+        return float(jnp.abs(a - e).max() / (jnp.abs(e).max() + 1e-9))
+
+    def ln(x, ls_, lb_):
+        x32 = x.astype(jnp.float32)
+        mu = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mu), axis=-1, keepdims=True)
+        return (x32 - mu) * jax.lax.rsqrt(var + eps) * ls_ + lb_
+
+    # with bias
+    o_r, vjp_r = jax.vjp(lambda x, ls_, lb_, w_, b_:
+                         ln(x, ls_, lb_).astype(x.dtype) @ w_ + b_, x, ls, lb, w, b)
+    o_f, vjp_f = jax.vjp(lambda x, ls_, lb_, w_, b_:
+                         dense_ln(x, ls_, lb_, w_, b_, eps), x, ls, lb, w, b)
+    assert rel(o_f, o_r) < 5e-3
+    for name, a, e in zip(("dx", "dls", "dlb", "dw", "db"), vjp_f(du), vjp_r(du)):
+        assert rel(a, e) < 1e-2, name
+
+    # bias-less (qkv_bias=False configs)
+    o_r2, vjp_r2 = jax.vjp(lambda x, ls_, lb_, w_:
+                           ln(x, ls_, lb_).astype(x.dtype) @ w_, x, ls, lb, w)
+    o_f2, vjp_f2 = jax.vjp(lambda x, ls_, lb_, w_:
+                           dense_ln(x, ls_, lb_, w_, None, eps), x, ls, lb, w)
+    assert rel(o_f2, o_r2) < 5e-3
+    for name, a, e in zip(("dx", "dls", "dlb", "dw"), vjp_f2(du), vjp_r2(du)):
+        assert rel(a, e) < 1e-2, name
