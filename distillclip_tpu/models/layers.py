@@ -30,9 +30,14 @@ class LayerNorm(nn.Module):
     epsilon: float = 1e-5
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, raw: bool = False):
         scale = self.param("scale", nn.initializers.ones, (x.shape[-1],), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32)
+        if raw:
+            # fused-consumer mode: the caller folds this LN into the next
+            # kernel (ops/fc1_act.dense_ln / dense_act_ln); params stay
+            # declared here so the param tree is identical either way
+            return scale, bias
         if x.ndim == 2:
             # 2D rows mode: fused Pallas LN (XLA's convert_reduce lowering
             # of the fp32 moments runs at ~60 GB/s — BENCH_NOTES round 3)
@@ -68,6 +73,66 @@ class Dense(nn.Dense):
         )
 
 
+def ln_fusion_active(x) -> bool:
+    """Fold pre-LNs into the consumer dense kernels (2D rows mode only).
+
+    Shared gate for the student weight-share blocks (repeat_vit) and the
+    plain CLIP blocks (transformer.py) — DISTILLCLIP_FC1_LN=0 opts out.
+    """
+    import os
+
+    from distillclip_tpu.ops.flash_attention import flash_enabled
+
+    return (
+        x.ndim == 2
+        and flash_enabled()
+        and os.environ.get("DISTILLCLIP_FC1", "kernel") == "kernel"
+        and os.environ.get("DISTILLCLIP_FC1_LN", "1") != "0"
+    )
+
+
+class _FusedLnDense(nn.Module):
+    """LN + dense via ops/fc1_act.dense_ln; param tree identical to Dense."""
+
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = None
+    bias_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, ln) -> Array:
+        from distillclip_tpu.ops.fc1_act import dense_ln
+
+        k = self.param("kernel", self.kernel_init or nn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features), jnp.float32)
+        b = (self.param("bias", self.bias_init or nn.initializers.zeros,
+                        (self.features,), jnp.float32) if self.use_bias else None)
+        ct = jnp.promote_types(x.dtype, k.dtype)
+        ls, lb, eps = ln
+        return dense_ln(x.astype(ct), ls, lb, k.astype(ct),
+                        None if b is None else b.astype(ct), eps)
+
+
+class _FusedLnFcGelu(nn.Module):
+    """LN + c_fc + QuickGELU via ops/fc1_act.dense_act_ln (same param tree)."""
+
+    features: int
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self, x: Array, ln) -> Array:
+        from distillclip_tpu.ops.fc1_act import dense_act_ln
+
+        k = self.param("kernel", self.kernel_init or nn.initializers.lecun_normal(),
+                       (x.shape[-1], self.features), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       jnp.float32)
+        ct = jnp.promote_types(x.dtype, k.dtype)
+        ls, lb, eps = ln
+        return dense_act_ln(x.astype(ct), ls, lb, k.astype(ct), b.astype(ct),
+                            "quick_gelu", eps)
+
+
 class ClipMlp(nn.Module):
     """CLIP residual-block MLP: Linear(d,4d) -> QuickGELU -> Linear(4d,d).
 
@@ -82,11 +147,18 @@ class ClipMlp(nn.Module):
     proj_std: Optional[float] = None
 
     @nn.compact
-    def __call__(self, x: Array) -> Array:
+    def __call__(self, x: Array, ln=None) -> Array:
         fc_init = nn.initializers.normal(self.fc_std) if self.fc_std else None
         pj_init = nn.initializers.normal(self.proj_std) if self.proj_std else None
-        h = Dense(self.width * self.expansion, kernel_init=fc_init, name="c_fc")(x)
-        h = quick_gelu(h)
+        if ln is not None:
+            # ln_2 folded into the c_fc kernel (quick_gelu in-kernel); the
+            # no-grad primal (frozen teachers) skips the (u, e) residual
+            # writes entirely (ops/fc1_act._fc1_ln_h_kernel)
+            h = _FusedLnFcGelu(self.width * self.expansion,
+                               kernel_init=fc_init, name="c_fc")(x, ln)
+        else:
+            h = Dense(self.width * self.expansion, kernel_init=fc_init, name="c_fc")(x)
+            h = quick_gelu(h)
         return Dense(self.width, kernel_init=pj_init, name="c_proj")(h)
 
 
@@ -129,6 +201,7 @@ class InstrumentedAttention(nn.Module):
         kv_len: Optional[int] = None,
         deterministic: bool = True,
         seq: Optional[int] = None,
+        ln=None,
     ) -> AttentionOutput:
         # 2D rows mode: x is [B*seq, C] (tower-level flattening keeps XLA
         # layouts row-major around the kernels; caller guarantees no taps)
@@ -145,8 +218,13 @@ class InstrumentedAttention(nn.Module):
 
         # Fused in-projection: one [D, 3D] matmul keeps the MXU busy.
         in_init = nn.initializers.normal(self.attn_std) if self.attn_std else None
-        qkv = Dense(3 * self.width, kernel_init=in_init, bias_init=in_init,
-                    name="in_proj")(x)
+        if ln is not None:
+            # ln_1 folded into the in-projection kernel (dense_ln)
+            qkv = _FusedLnDense(3 * self.width, kernel_init=in_init,
+                                bias_init=in_init, name="in_proj")(x, ln)
+        else:
+            qkv = Dense(3 * self.width, kernel_init=in_init, bias_init=in_init,
+                        name="in_proj")(x)
 
         from distillclip_tpu.ops.flash_attention import flash_enabled
 

@@ -363,21 +363,14 @@ def _fc1_mode() -> str:
 
 
 def _mlp_ln_fused(x) -> bool:
-    """Fold norm2 into the fc1 kernel (2D rows mode, kernel path only).
+    """Fold norm1/norm2 into the consumer kernels (2D rows mode only).
 
     DISTILLCLIP_FC1_LN=0 opts out (A/B lever; the standalone fused-LN
     kernel path stays available either way).
     """
-    import os
+    from distillclip_tpu.models.layers import ln_fusion_active
 
-    from distillclip_tpu.ops.flash_attention import flash_enabled
-
-    return (
-        x.ndim == 2
-        and flash_enabled()
-        and _fc1_mode() == "kernel"
-        and os.environ.get("DISTILLCLIP_FC1_LN", "1") != "0"
-    )
+    return ln_fusion_active(x)
 
 
 class _Fc1Act(nn.Module):

@@ -47,15 +47,32 @@ class ResidualAttentionBlock(nn.Module):
         deterministic: bool = True,
         seq: Optional[int] = None,
     ) -> AttentionOutput:
-        attn_out = InstrumentedAttention(
+        from distillclip_tpu.models.layers import ln_fusion_active
+
+        attn = InstrumentedAttention(
             width=self.width, heads=self.heads, drop_prob=self.drop_prob,
             use_flash=self.use_flash, attn_std=self.attn_std,
             proj_std=self.proj_std, name="attn",
-        )(LayerNorm(name="ln_1")(x), flags, mask=mask, causal=causal,
-          kv_len=kv_len, deterministic=deterministic, seq=seq)
-        x = x + attn_out.hidden
-        x = x + ClipMlp(width=self.width, fc_std=self.fc_std,
-                        proj_std=self.proj_std, name="mlp")(LayerNorm(name="ln_2")(x))
+        )
+        mlp = ClipMlp(width=self.width, fc_std=self.fc_std,
+                      proj_std=self.proj_std, name="mlp")
+        ln_1 = LayerNorm(name="ln_1")
+        ln_2 = LayerNorm(name="ln_2")
+        if ln_fusion_active(x):
+            # pre-LNs folded into the consumer kernels (qkv / c_fc); saves
+            # a full [rows, C] write+read per LN (ops/fc1_act.py)
+            ls1, lb1 = ln_1(x, raw=True)
+            attn_out = attn(x, flags, mask=mask, causal=causal, kv_len=kv_len,
+                            deterministic=deterministic, seq=seq,
+                            ln=(ls1, lb1, ln_1.epsilon))
+            x = x + attn_out.hidden
+            ls2, lb2 = ln_2(x, raw=True)
+            x = x + mlp(x, ln=(ls2, lb2, ln_2.epsilon))
+        else:
+            attn_out = attn(ln_1(x), flags, mask=mask, causal=causal,
+                            kv_len=kv_len, deterministic=deterministic, seq=seq)
+            x = x + attn_out.hidden
+            x = x + mlp(ln_2(x))
         return AttentionOutput(
             hidden=x,
             attention_scores=attn_out.attention_scores,

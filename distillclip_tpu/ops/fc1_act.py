@@ -245,8 +245,9 @@ def _fc1_ln_call(x, ls, lb, w, b, act, eps):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def _dense_act_ln(x, ls, lb, w, b, act, eps):
-    u, e, _, _ = _fc1_ln_call(x, ls, lb, w, b, act, eps)
-    return _recombine(u, e, act)
+    # primal (no-grad contexts, e.g. frozen teacher towers): lean kernel,
+    # h only — the (u, e) residuals are written only under differentiation
+    return _fc1_ln_h_call(x, ls, lb, w, b, act, eps)
 
 
 def _dense_act_ln_fwd(x, ls, lb, w, b, act, eps):
@@ -415,3 +416,50 @@ def dense_ln(x: Array, ls: Array, lb: Array, w: Array, b=None,
                                                float(eps)),
         (x,), (ls, lb, w, b), x.shape[0],
     )
+
+
+def _fc1_ln_h_kernel(x_ref, ls_ref, lb_ref, w_ref, b_ref, h_ref, *, act, eps):
+    """Lean LN+fc1+act forward emitting h ONLY (no backward residuals).
+
+    Used by the custom_vjp PRIMAL: in no-grad contexts (the frozen teacher
+    towers) JAX runs the primal, so the (u, e) residual writes — ~2x the
+    output bytes — are skipped entirely.
+    """
+    x = x_ref[...].astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xn = (x - mean) * rstd * ls_ref[...].astype(jnp.float32) + lb_ref[...].astype(jnp.float32)
+    u = jax.lax.dot_general(
+        xn.astype(x_ref.dtype), w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)
+    if act == "gelu_exact":
+        h = 0.5 * u * (1.0 + _erf_approx(u * _INV_SQRT2))
+    elif act == "quick_gelu":
+        h = u * jax.nn.sigmoid(1.702 * u)
+    else:  # pragma: no cover
+        raise ValueError(act)
+    h_ref[...] = h.astype(h_ref.dtype)
+
+
+def _fc1_ln_h_call(x, ls, lb, w, b, act, eps):
+    rows, C = x.shape
+    H = w.shape[1]
+    blk_rows = _pick_rows_blk(rows)
+    xblk = pl.BlockSpec((blk_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vblk = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((blk_rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fc1_ln_h_kernel, act=act, eps=eps),
+        grid=(rows // blk_rows,),
+        in_specs=[xblk, vblk, vblk, wblk, bblk],
+        out_specs=oblk,
+        out_shape=jax.ShapeDtypeStruct((rows, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x, ls.reshape(1, C), lb.reshape(1, C), w, b.reshape(1, H))
