@@ -129,10 +129,48 @@ def _recombine(u, e, act):
     return h.astype(u.dtype)
 
 
+def _fc1_h_kernel(x_ref, w_ref, b_ref, h_ref, *, act):
+    """Lean fc1+act forward emitting h ONLY — used by the custom_vjp
+    primal, so no-grad contexts (validation / serving encoders) skip the
+    (u, e) residual writes."""
+    u = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)
+    if act == "gelu_exact":
+        h = 0.5 * u * (1.0 + _erf_approx(u * _INV_SQRT2))
+    elif act == "quick_gelu":
+        h = u * jax.nn.sigmoid(1.702 * u)
+    else:  # pragma: no cover
+        raise ValueError(act)
+    h_ref[...] = h.astype(h_ref.dtype)
+
+
+def _fc1_h_call(x, w, b, act):
+    rows, C = x.shape
+    H = w.shape[1]
+    blk_rows = _pick_rows_blk(rows)
+    xblk = pl.BlockSpec((blk_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((blk_rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_fc1_h_kernel, act=act),
+        grid=(rows // blk_rows,),
+        in_specs=[xblk, wblk, bblk],
+        out_specs=oblk,
+        out_shape=jax.ShapeDtypeStruct((rows, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x, w, b.reshape(1, H))
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def _dense_act(x: Array, w: Array, b: Array, act: str) -> Array:
-    u, e = _fc1_call(x, w, b, act)
-    return _recombine(u, e, act)
+    # primal (no-grad contexts): lean kernel, h only
+    return _fc1_h_call(x, w, b, act)
 
 
 def _dense_act_fwd(x, w, b, act):

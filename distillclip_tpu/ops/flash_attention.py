@@ -225,7 +225,17 @@ _flash_packed.defvjp(_flash_packed_fwd, _flash_packed_bwd)
 
 
 def _head_chunk(h: int, np_len: int, max_rows: int = 768) -> int:
-    """Heads per packed block, bounding the (hc*Np)^2 fp32 score matrix."""
+    """Heads per packed block, bounding the (hc*Np)^2 fp32 score matrix.
+
+    The packed dot computes hc-fold FLOP-inflated cross-head blocks (masked
+    by the bias), so hc also trades MXU-dot overhead against inflation;
+    DISTILLCLIP_FLASH_HC overrides for tuning (must divide h).
+    """
+    import os
+
+    env = os.environ.get("DISTILLCLIP_FLASH_HC")
+    if env and h % int(env) == 0:
+        return int(env)
     hc = h
     while hc > 1 and hc % 2 == 0 and hc * np_len > max_rows:
         hc //= 2
