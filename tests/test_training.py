@@ -479,3 +479,30 @@ def test_uint8_device_normalize_matches_float(ckpt_path, mesh):
     _, m_f32 = step2(state2, task.teacher_compute_vars, shard_batch(mesh, jnp.asarray(f32)), rng)
 
     np.testing.assert_allclose(float(m_u8["loss"]), float(m_f32["loss"]), rtol=1e-3)
+
+
+def test_ln_fusion_training_trajectory_matches(ckpt_path, mesh, monkeypatch):
+    """LN-fused kernels (norm1->qkv, norm2->fc1) produce the same training
+    trajectory as the standalone-LN path — catches grad bugs in the fused
+    custom VJPs at the full train-step level, not just per-op oracles."""
+
+    def run(ln_fused: bool):
+        monkeypatch.setenv("DISTILLCLIP_FC1_LN", "1" if ln_fused else "0")
+        task = _text_task(ckpt_path)
+        rng = jax.random.PRNGKey(0)
+        B = 16
+        tokens = np.random.default_rng(0).integers(1, VOCAB - 1, size=(B, CTX))
+        tokens[:, -1] = VOCAB - 1
+        tokens = jnp.asarray(tokens)
+        state, tx = task.init_state(rng, tokens[:1], steps_per_epoch=2)
+        step = task.make_train_step(mesh, tx)
+        batch = shard_batch(mesh, tokens)
+        losses = []
+        for _ in range(3):
+            state, metrics = step(state, task.teacher_vars, batch, rng)
+            losses.append(float(metrics["loss"]))
+        return losses
+
+    fused = run(True)
+    plain = run(False)
+    np.testing.assert_allclose(fused, plain, rtol=2e-3, atol=2e-4)
