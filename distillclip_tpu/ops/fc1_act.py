@@ -32,8 +32,6 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -37,8 +37,6 @@ stays the default until the hardware A/B says otherwise (BENCH_NOTES).
 from __future__ import annotations
 
 import functools
-import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
