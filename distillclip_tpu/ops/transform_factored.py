@@ -97,13 +97,59 @@ def _scores(q_pk, k_pk, S, scale, h, hc, np_len):
                 )
 
 
-def _mix(W_ref, src, dst, h, np_len, transpose=False):
-    """dst[b] = sum_j W[b,j] * src[j] (tile FMAs; W[j,b] if transpose).
+def _mix_mode() -> str:
+    import os
 
-    W is loaded once as a register value; the h^2 scalar coefficients are
-    vreg extracts, not VMEM loads.
+    return os.environ.get("DISTILLCLIP_TF_MIX", "fma")
+
+
+def _mix(W_ref, src, dst, h, np_len, transpose=False):
+    """dst[b] = sum_j W[b,j] * src[j] over head blocks (W[j,b] if transpose).
+
+    Two lowerings:
+    * 'fma' (default): h^2 aligned [Np, Np] tile scale-adds.  W is loaded
+      once as a register value; the scalar coefficients are vreg extracts.
+    * 'roll': h diagonal passes — dst += roll(src, -delta*Np rows) * c_delta
+      where c_delta[b] = W[b, (b+delta) % h] broadcast per block via a tiny
+      indicator matmul.  h passes over the FULL [HN, Np] array instead of
+      h^2 over [Np, Np] tiles: same FLOPs, ~h-fold fewer instructions —
+      matters at h=24 (576-statement unrolls per mix).
     """
     W = W_ref[...]
+    if _mix_mode() == "roll":
+        HN = h * np_len
+        r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
+        c1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
+        Drow = (r1 // np_len == c1).astype(jnp.float32)       # [(b,r), b]
+        rw = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
+        cw = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
+        full = src[...]
+        acc = None
+        for delta in range(h):
+            # diag-delta coefficients: c[b] = W[b, (b+delta)%h]
+            # (transpose: c[b] = W[(b+delta)%h, b]) — selected by an iota
+            # mask and reduced along the matching axis, no in-kernel W.T
+            if not transpose:
+                sel = ((cw - rw) % h == delta)
+                c_small = jnp.sum(jnp.where(sel, W, 0.0), axis=1,
+                                  keepdims=True)               # [h, 1]
+                c_full = jax.lax.dot_general(
+                    Drow, c_small, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [HN, 1]
+            else:
+                sel = ((rw - cw) % h == delta)
+                c_small = jnp.sum(jnp.where(sel, W, 0.0), axis=0,
+                                  keepdims=True)               # [1, h]
+                c_full = jax.lax.dot_general(
+                    Drow, c_small, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)        # [HN, 1]
+            # want rolled[i] = full[(i + delta*Np) % HN]; pltpu.roll needs a
+            # non-negative shift, so roll DOWN by HN - delta*Np instead
+            rolled = pltpu.roll(full, (HN - delta * np_len) % HN, 0)
+            term = c_full * rolled
+            acc = term if acc is None else acc + term
+        dst[...] = acc
+        return
     for b in range(h):
         w0 = W[0:1, b:b + 1] if transpose else W[b:b + 1, 0:1]
         acc = w0 * src[0:np_len, :]
