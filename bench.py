@@ -342,6 +342,34 @@ def main():
         except Exception:
             pass
 
+    if not args.quick:
+        # backend watchdog: the axon tunnel can wedge (connects but never
+        # answers — observed Aug 17: trivial matmuls hang forever, HOLDING
+        # THE GIL inside PJRT init, so an in-process thread can't time it
+        # out).  Probe in a subprocess so a dead backend yields a recorded
+        # error line instead of an eternally-hung bench run.
+        import subprocess
+
+        probe_s = float(os.environ.get("DISTILLCLIP_BENCH_PROBE_S", "420"))
+        try:
+            subprocess.run(
+                [sys.executable, "-c",
+                 "import numpy as np, jax, jax.numpy as jnp;"
+                 "x = jnp.ones((8, 8));"
+                 "np.asarray(x @ x)"],  # host readback = the only real fence
+                timeout=probe_s, check=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as exc:
+            print(json.dumps({
+                "metric": METRIC_NAMES.get("l_clip", "pairs/s/chip"),
+                "value": 0.0,
+                "unit": "pairs/s/chip",
+                "vs_baseline": 0.0,
+                "detail": {"error": f"backend unreachable ({type(exc).__name__})"},
+            }))
+            sys.exit(2)
+
     if args.serve:
         serving = run_serve(quick=args.quick)
         headline = max(v["pairs_per_s_per_chip"] for v in serving.values())
