@@ -125,6 +125,7 @@ class LossCalculator:
             need_attn_prob=bool(names & {"attention_probs_mse", "attention_probs_kl"}),
             need_rep=bool(names & {"hidden_rep_mse", "vit_kd"}),
             need_value_map="last_value_map_kl" in names,
+            need_last_layer="fine_grain" in names,
         )
 
     # -- vit_kd variables ----------------------------------------------------

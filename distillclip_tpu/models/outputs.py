@@ -46,6 +46,12 @@ class ControlFlags:
     need_value_map: bool = False
     need_attn_prob: bool = False
     need_rep: bool = False
+    # full projected sequence (``last_layer_output``) — only the fine_grain
+    # loss reads it; when False the repeat towers pool FIRST and run the
+    # final norm+head on one row per sample instead of all N (the reference
+    # always projects all tokens, text_encoder.py:79-86 — identical math
+    # for the pooled row since LN/dense are per-row)
+    need_last_layer: bool = False
 
     def any_tap(self) -> bool:
         """True if any instrumentation is requested.

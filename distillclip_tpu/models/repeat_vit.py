@@ -666,16 +666,27 @@ class RepeatVisionTransformer(nn.Module):
             reps.append(block_out.representations)
             value_map = block_out.value_map
 
-        if rows_mode:
-            x = x.reshape(B, Npad, self.embed_dim)
-        if Npad != N0:
-            x = x[:, :N0]
-        x = StudentLayerNorm(name="norm")(x)
-        x = StudentDense(self.out_dim, name="head")(x)
+        norm = StudentLayerNorm(name="norm")
+        head = StudentDense(self.out_dim, name="head")
+        if not flags.need_last_layer:
+            # pool-first tail: only the cls row survives, and LN/dense are
+            # per-row, so norm+head run on [B, C] instead of [B, N, C]
+            # (identical pooled value; last_layer_output gets the same
+            # [B, 1, D] stand-in the cached-teacher paths use)
+            cls_rows = (x[::Npad] if rows_mode else x[:, 0])
+            rep = head(norm(cls_rows))
+            full = rep[:, None, :]
+        else:
+            if rows_mode:
+                x = x.reshape(B, Npad, self.embed_dim)
+            if Npad != N0:
+                x = x[:, :N0]
+            x = head(norm(x))
+            rep, full = x[:, 0], x
 
         return VisionOutput(
-            last_representation=x[:, 0],
-            last_layer_output=x,
+            last_representation=rep,
+            last_layer_output=full,
             attention_scores=_concat_opt(scores),
             attention_probs=_concat_opt(probs),
             representations=_concat_opt(reps),
@@ -781,16 +792,31 @@ class RepeatTextTransformer(nn.Module):
             reps.append(block_out.representations)
             value_map = block_out.value_map
 
-        if rows_mode:
-            x = x.reshape(B, Npad, self.embed_dim)
-        if Npad != N0:
-            x = x[:, :N0]
-        x = StudentLayerNorm(name="norm")(x)
-        x = StudentDense(self.out_dim, name="head")(x)
+        norm = StudentLayerNorm(name="norm")
+        head = StudentDense(self.out_dim, name="head")
+        if not flags.need_last_layer:
+            # pool-first tail: only the EOT row survives and LN/dense are
+            # per-row — gather it (still 2D in rows mode), then norm+head
+            # on [B, C] instead of [B, N, C]
+            eot_idx = jnp.argmax(tokens, axis=-1)                    # [B]
+            if rows_mode:
+                rows = jnp.take(
+                    x, jnp.arange(B) * Npad + eot_idx, axis=0)       # [B, C]
+            else:
+                rows = eot_pool(x, tokens)
+            rep = head(norm(rows))
+            full = rep[:, None, :]
+        else:
+            if rows_mode:
+                x = x.reshape(B, Npad, self.embed_dim)
+            if Npad != N0:
+                x = x[:, :N0]
+            x = head(norm(x))
+            rep, full = eot_pool(x, tokens), x
 
         return TextOutput(
-            last_representation=eot_pool(x, tokens),
-            last_layer_output=x,
+            last_representation=rep,
+            last_layer_output=full,
             attention_scores=_concat_opt(scores),
             attention_probs=_concat_opt(probs),
             representations=_concat_opt(reps),

@@ -184,3 +184,46 @@ def test_clip_model_logits():
     img_f, txt_f, logits = clip.apply(params, toks, imgs, method=clip.score)
     np.testing.assert_allclose(np.asarray(logits), np.asarray(out.i2t_logits),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_tail_gating_pooled_rep_identical():
+    """need_last_layer=False pools first and runs norm+head on one row per
+    sample; the pooled representation must equal the full-tail path (LN and
+    dense are per-row), and the full path must still emit all positions."""
+    from distillclip_tpu.models.outputs import ControlFlags
+    from distillclip_tpu.models.repeat_vit import (
+        RepeatTextTransformer,
+        RepeatVisionTransformer,
+    )
+
+    rng = jax.random.PRNGKey(0)
+    # text tower
+    txt = RepeatTextTransformer(
+        vocab_size=512, context_length=32, out_dim=24, embed_dim=32,
+        depth=2, num_heads=4, repeated_times=2, use_transform=True,
+    )
+    tokens = np.random.default_rng(3).integers(1, 500, size=(4, 32))
+    tokens[:, -1] = 511
+    tokens = jnp.asarray(tokens)
+    params = txt.init(rng, tokens, ControlFlags())
+    o_lean = txt.apply(params, tokens, ControlFlags())
+    o_full = txt.apply(params, tokens, ControlFlags(need_last_layer=True))
+    np.testing.assert_allclose(
+        np.asarray(o_lean.last_representation),
+        np.asarray(o_full.last_representation), rtol=2e-5, atol=2e-5)
+    assert o_full.last_layer_output.shape == (4, 32, 24)
+    assert o_lean.last_layer_output.shape == (4, 1, 24)
+
+    # vision tower
+    vit = RepeatVisionTransformer(
+        img_size=32, patch_size=16, embed_dim=32, depth=2, num_heads=4,
+        repeated_times=2, out_dim=24, use_transform=True,
+    )
+    imgs = jnp.asarray(np.random.default_rng(4).standard_normal(
+        (2, 32, 32, 3)), jnp.float32)
+    vparams = vit.init(rng, imgs, ControlFlags())
+    v_lean = vit.apply(vparams, imgs, ControlFlags())
+    v_full = vit.apply(vparams, imgs, ControlFlags(need_last_layer=True))
+    np.testing.assert_allclose(
+        np.asarray(v_lean.last_representation),
+        np.asarray(v_full.last_representation), rtol=2e-5, atol=2e-5)
