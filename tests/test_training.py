@@ -506,3 +506,32 @@ def test_ln_fusion_training_trajectory_matches(ckpt_path, mesh, monkeypatch):
     fused = run(True)
     plain = run(False)
     np.testing.assert_allclose(fused, plain, rtol=2e-3, atol=2e-4)
+
+
+def test_dual_fine_grain_step(ckpt_path, mesh):
+    """fine_grain (the only last_layer_output consumer) trains end-to-end:
+    need_last_layer=True forces the full-sequence tower tails."""
+    img_student = RepeatVisionTransformer(
+        img_size=RES, patch_size=PATCH, out_dim=48, embed_dim=32, depth=2,
+        num_heads=4, repeated_times=2, qkv_bias=True,
+    )
+    txt_student = RepeatTextTransformer(
+        vocab_size=VOCAB, context_length=CTX, out_dim=48, embed_dim=32,
+        depth=2, num_heads=4, repeated_times=2,
+    )
+    task = DualDistillTask(
+        image_student=img_student, text_student=txt_student,
+        loss_control_para={"loss_name": ["out_l1", "fine_grain"],
+                           "loss_scale": {"fine_grain": 0.1}},
+        teacher_name=ckpt_path, lr=1e-3, warm_steps=1, total_steps=10,
+    )
+    assert task.flags.need_last_layer
+    rng = jax.random.PRNGKey(2)
+    imgs = jnp.asarray(np.random.default_rng(1).normal(size=(16, RES, RES, 3)), jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(1).integers(1, VOCAB, size=(16, CTX)))
+    state, tx = task.init_state(rng, toks[:1], imgs[:1], steps_per_epoch=2)
+    step = task.make_train_step(mesh, tx)
+    state, metrics = step(state, task.teacher_vars, shard_batch(mesh, toks),
+                          shard_batch(mesh, imgs), rng)
+    assert np.isfinite(float(metrics["loss"]))
+    assert "fine_grain" in metrics
