@@ -56,45 +56,69 @@ def _interpret() -> bool:
 
 
 def _pick_hc(h: int, np_len: int) -> int:
-    """Heads per score/dPm dot.
+    """Output-head rows per scaled-operand chunk dot ('scaled' mode only).
 
-    hc=1 is pure true-FLOP but pays per-dot Mosaic overhead h times;
-    larger hc amortizes overhead at hc-fold score-dot inflation plus a
-    lane-shift diag extraction.  Default 1; DISTILLCLIP_TF_HC overrides
-    for tuning (must divide h).
+    Larger hc = fewer, larger [hc*Np, HD] x [Np, HD]^T dots (same total
+    FLOPs); bounded by the Qs scratch.  Default h (one dot per side);
+    DISTILLCLIP_TF_HC overrides for tuning (must divide h).
     """
     import os
 
     env = os.environ.get("DISTILLCLIP_TF_HC")
     if env and h % int(env) == 0:
         return int(env)
-    return 1
+    return h
 
 
-def _pack_qkv(qkv_ref, lo, np_len, h, d, HD, q_pk, k_pk, v_pk):
-    dt = q_pk.dtype
-    for j in range(h):
-        dst = slice(j * np_len, (j + 1) * np_len)
-        q_pk[dst, :] = qkv_ref[lo:lo + np_len, j * d:(j + 1) * d].astype(dt)
-        k_pk[dst, :] = qkv_ref[lo:lo + np_len, HD + j * d:HD + (j + 1) * d].astype(dt)
-        v_pk[dst, :] = qkv_ref[lo:lo + np_len, 2 * HD + j * d:2 * HD + (j + 1) * d].astype(dt)
+def _lane_expand(W, h, d, scale=1.0):
+    """wl_lane[b, j*d+s] = scale * W[b, j]  ([h, HD] via an indicator dot)."""
+    HD = h * d
+    rH = jax.lax.broadcasted_iota(jnp.int32, (h, HD), 0)
+    cH = jax.lax.broadcasted_iota(jnp.int32, (h, HD), 1)
+    DcolT = (cH // d == rH).astype(jnp.float32)                   # [h(j), HD]
+    out = jax.lax.dot_general(
+        W.astype(jnp.float32), DcolT, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                        # [h(b), HD]
+    return out * scale if scale != 1.0 else out
 
 
-def _scores(q_pk, k_pk, S, scale, h, hc, np_len):
-    """S[j] = q_j k_j^T * scale, chunked hc heads per dot."""
+def _scores_mode() -> str:
+    """'scaled' or 'perhead' score/dPm dot strategy (DISTILLCLIP_TF_SCORES).
+
+    * 'scaled': the head weight (conv_l mix, or an identity mask for raw
+      scores) rides on q as a lane-broadcast multiply and each chunk dot
+      contracts the FULL feature dim — colcat-level FLOPs (h^2 Np^2 d) but
+      K=HD MXU shapes, packed output rows, and the conv_l mix is free.
+    * 'perhead': true-FLOP K=d dots straight off lane slices (h Np^2 d,
+      1/h the FLOPs) — per-dot overhead and K=d<128 padding decide whether
+      that wins; the conv_l mix then costs an explicit _mix pass.
+    """
+    import os
+
+    return os.environ.get("DISTILLCLIP_TF_SCORES", "scaled")
+
+
+def _scores_scaled(q, k, lane_w, Qs, S, h, hc, np_len):
+    """Scores via scaled-operand chunked dots: [hc*Np, HD] x [Np, HD]^T
+    emits the packed [hc*Np, Np] rows directly (see _scores_mode)."""
     for c in range(h // hc):
-        base = c * hc * np_len
+        for t in range(hc):
+            b = c * hc + t
+            Qs[t * np_len:(t + 1) * np_len, :] = (
+                q * lane_w[b:b + 1, :]).astype(Qs.dtype)
+        S[c * hc * np_len:(c + 1) * hc * np_len, :] = jax.lax.dot_general(
+            Qs[...], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+
+def _scores_perhead(q, k, S, h, d, np_len, scale=1.0):
+    """True-FLOP per-head dots straight off lane slices: S[j] = q_j k_j^T."""
+    for j in range(h):
+        sl = slice(j * d, (j + 1) * d)
         sc = jax.lax.dot_general(
-            q_pk[base:base + hc * np_len, :], k_pk[base:base + hc * np_len, :],
-            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-        ) * scale
-        if hc == 1:
-            S[base:base + np_len, :] = sc
-        else:
-            for j in range(hc):
-                S[base + j * np_len:base + (j + 1) * np_len, :] = (
-                    sc[j * np_len:(j + 1) * np_len, j * np_len:(j + 1) * np_len]
-                )
+            q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        S[j * np_len:(j + 1) * np_len, :] = sc * scale if scale != 1.0 else sc
 
 
 def _mix_mode() -> str:
@@ -160,7 +184,7 @@ def _mix(W_ref, src, dst, h, np_len, transpose=False):
 
 
 def _fa_fwd_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref,
-                   q_pk, k_pk, v_pk, S, T,
+                   Qs, S, T,
                    *, scale, gb, h, hc, np_len, n, d):
     HD = h * d
     HN = h * np_len
@@ -168,13 +192,21 @@ def _fa_fwd_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref,
     # sliced off downstream — same contract as the colcat kernel)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, np_len), 1)
     kv_bias = jnp.where(lane < n, 0.0, NEG_INF).astype(jnp.float32)
+    scaled = _scores_mode() == "scaled"
+    if scaled:
+        # conv_l (and the softmax scale) ride on q as a lane-broadcast mul
+        wl_lane = _lane_expand(wl_ref[...], h, d, scale)
 
     for s in range(gb):
         lo = s * np_len
-        _pack_qkv(qkv_ref, lo, np_len, h, d, HD, q_pk, k_pk, v_pk)
-        _scores(q_pk, k_pk, S, scale, h, hc, np_len)
-        _mix(wl_ref, S, T, h, np_len)                    # T = conv_l-mixed scores
-        x = T[...] + kv_bias
+        q = qkv_ref[lo:lo + np_len, 0:HD]
+        k = qkv_ref[lo:lo + np_len, HD:2 * HD]
+        if scaled:
+            _scores_scaled(q, k, wl_lane, Qs, S, h, hc, np_len)  # S = mixed
+        else:
+            _scores_perhead(q, k, T, h, d, np_len, scale)        # T = raw
+            _mix(wl_ref, T, S, h, np_len)                        # S = mixed
+        x = S[...] + kv_bias
         m = jnp.max(x, axis=-1, keepdims=True)
         e = jnp.exp(x - m)
         den = jnp.sum(e, axis=-1, keepdims=True)
@@ -184,16 +216,21 @@ def _fa_fwd_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref,
         for j in range(h):
             blk = slice(j * np_len, (j + 1) * np_len)
             o_ref[lo:lo + np_len, j * d:(j + 1) * d] = jax.lax.dot_general(
-                T[blk, :].astype(jnp.bfloat16), v_pk[blk, :],
+                T[blk, :].astype(jnp.bfloat16),
+                qkv_ref[lo:lo + np_len, 2 * HD + j * d:2 * HD + (j + 1) * d],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
             ).astype(o_ref.dtype)
 
 
 def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
                    dqkv_ref, dwl_ref, dwwT_ref,
-                   q_pk, k_pk, v_pk, do_pk, S, A, B2, Wl_s, Ww_s,
+                   Qs, S, A, B2, Wl_s, Ww_s,
                    *, scale, gb, h, hc, np_len, n, d):
     """Emits dwl and dww^T (the host transposes dww — a [h,h] no-op there).
+
+    Raw per-head scores (for dwl) and dPm both use the scaled-operand
+    chunked dots (_scores_scaled) with an identity lane mask — no q/k/v/do
+    packing anywhere; all per-head operands are direct lane slices.
 
     Column assembly: for each fixed g, ``sum(dPm_g . P'_j)`` over all j is
     one repeat + lane-reduce + indicator matmul producing the [h,1] column
@@ -205,6 +242,13 @@ def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
     r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
     c1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
     Drow = (r1 // np_len == c1).astype(jnp.bfloat16)
+    # identity lane mask [h, HD]: block-b lanes of head b
+    scaled = _scores_mode() == "scaled"
+    if scaled:
+        rH = jax.lax.broadcasted_iota(jnp.int32, (h, HD), 0)
+        cH = jax.lax.broadcasted_iota(jnp.int32, (h, HD), 1)
+        mask_lane = (cH // d == rH).astype(jnp.float32)
+        id_lane = mask_lane * scale
 
     step = pl.program_id(0)
 
@@ -218,37 +262,32 @@ def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
 
     for s in range(gb):
         lo = s * np_len
-        _pack_qkv(qkv_ref, lo, np_len, h, d, HD, q_pk, k_pk, v_pk)
-        for j in range(h):
-            do_pk[j * np_len:(j + 1) * np_len, :] = (
-                do_ref[lo:lo + np_len, j * d:(j + 1) * d].astype(do_pk.dtype)
-            )
-        # recompute true per-head scores (needed for dwl only; cheaper than
+        q = qkv_ref[lo:lo + np_len, 0:HD]
+        k = qkv_ref[lo:lo + np_len, HD:2 * HD]
+        v = qkv_ref[lo:lo + np_len, 2 * HD:3 * HD]
+        do = do_ref[lo:lo + np_len, :]
+        # recompute raw per-head scores (needed for dwl only; cheaper than
         # a second [HN, Np] save+reload round trip through HBM)
-        _scores(q_pk, k_pk, S, scale, h, hc, np_len)
+        if scaled:
+            _scores_scaled(q, k, id_lane, Qs, S, h, hc, np_len)
+        else:
+            _scores_perhead(q, k, S, h, d, np_len, scale)
 
         pp = p_ref[s * HN:(s + 1) * HN, :].astype(jnp.float32)  # P' saved
 
-        # dPm_j = do_j v_j^T   (chunked like the score dots)
-        for c in range(h // hc):
-            base = c * hc * np_len
-            dc = jax.lax.dot_general(
-                do_pk[base:base + hc * np_len, :], v_pk[base:base + hc * np_len, :],
-                (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
-            if hc == 1:
-                A[base:base + np_len, :] = dc
-            else:
-                for j in range(hc):
-                    A[base + j * np_len:base + (j + 1) * np_len, :] = (
-                        dc[j * np_len:(j + 1) * np_len, j * np_len:(j + 1) * np_len]
-                    )
+        # dPm_g = do_g v_g^T
+        if scaled:
+            _scores_scaled(do, v, mask_lane, Qs, A, h, hc, np_len)
+        else:
+            _scores_perhead(do, v, A, h, d, np_len)
         # dv_j = Pm_j^T do_j ; Pm recomputed from saved P' (tile FMAs)
         _mix(ww_ref, pp, B2, h, np_len)
         for j in range(h):
             blk = slice(j * np_len, (j + 1) * np_len)
             dqkv_ref[lo:lo + np_len, 2 * HD + j * d:2 * HD + (j + 1) * d] = (
                 jax.lax.dot_general(
-                    B2[blk, :].astype(jnp.bfloat16), do_pk[blk, :],
+                    B2[blk, :].astype(jnp.bfloat16),
+                    do_ref[lo:lo + np_len, j * d:(j + 1) * d],
                     (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
                 ).astype(dqkv_ref.dtype)
             )
@@ -281,11 +320,13 @@ def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
             blk = slice(j * np_len, (j + 1) * np_len)
             ds_b = (B2[blk, :] * scale).astype(jnp.bfloat16)
             dqkv_ref[lo:lo + np_len, j * d:(j + 1) * d] = jax.lax.dot_general(
-                ds_b, k_pk[blk, :], (((1,), (0,)), ((), ())),
+                ds_b, qkv_ref[lo:lo + np_len, HD + j * d:HD + (j + 1) * d],
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
             dqkv_ref[lo:lo + np_len, HD + j * d:HD + (j + 1) * d] = (
                 jax.lax.dot_general(
-                    ds_b, q_pk[blk, :], (((0,), (0,)), ((), ())),
+                    ds_b, qkv_ref[lo:lo + np_len, j * d:(j + 1) * d],
+                    (((0,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
             )
 
@@ -314,11 +355,9 @@ def _fa_fwd_call(qkv2, wl, ww, scale, n, gb, np_len, h, d, save_p):
             jax.ShapeDtypeStruct((rows_total * h, np_len), jnp.bfloat16),
         ),
         scratch_shapes=[
-            pltpu.VMEM((HN, d), jnp.bfloat16),
-            pltpu.VMEM((HN, d), jnp.bfloat16),
-            pltpu.VMEM((HN, d), jnp.bfloat16),
-            pltpu.VMEM((HN, np_len), jnp.float32),
-            pltpu.VMEM((HN, np_len), jnp.float32),
+            pltpu.VMEM((hc * np_len, HD), jnp.bfloat16),   # Qs (scaled q)
+            pltpu.VMEM((HN, np_len), jnp.float32),         # S
+            pltpu.VMEM((HN, np_len), jnp.float32),         # T
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -350,15 +389,12 @@ def _fa_bwd_call(qkv2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
             jax.ShapeDtypeStruct((h, h), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((HN, d), jnp.bfloat16),
-            pltpu.VMEM((HN, d), jnp.bfloat16),
-            pltpu.VMEM((HN, d), jnp.bfloat16),
-            pltpu.VMEM((HN, d), jnp.bfloat16),
-            pltpu.VMEM((HN, np_len), jnp.float32),
-            pltpu.VMEM((HN, np_len), jnp.float32),
-            pltpu.VMEM((HN, np_len), jnp.float32),
-            pltpu.VMEM((h, h), jnp.float32),
-            pltpu.VMEM((h, h), jnp.float32),
+            pltpu.VMEM((hc * np_len, HD), jnp.bfloat16),   # Qs (scaled ops)
+            pltpu.VMEM((HN, np_len), jnp.float32),         # S (raw scores)
+            pltpu.VMEM((HN, np_len), jnp.float32),         # A (dPm / dS')
+            pltpu.VMEM((HN, np_len), jnp.float32),         # B2 (Pm / dP' / dS)
+            pltpu.VMEM((h, h), jnp.float32),               # Wl_s
+            pltpu.VMEM((h, h), jnp.float32),               # Ww_s
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
