@@ -83,19 +83,22 @@ def _lane_expand(W, h, d, scale=1.0):
 
 
 def _scores_mode() -> str:
-    """'scaled' or 'perhead' score/dPm dot strategy (DISTILLCLIP_TF_SCORES).
+    """'perhead' or 'scaled' score/dPm dot strategy (DISTILLCLIP_TF_SCORES).
 
-    * 'scaled': the head weight (conv_l mix, or an identity mask for raw
-      scores) rides on q as a lane-broadcast multiply and each chunk dot
-      contracts the FULL feature dim — colcat-level FLOPs (h^2 Np^2 d) but
-      K=HD MXU shapes, packed output rows, and the conv_l mix is free.
-    * 'perhead': true-FLOP K=d dots straight off lane slices (h Np^2 d,
-      1/h the FLOPs) — per-dot overhead and K=d<128 padding decide whether
-      that wins; the conv_l mix then costs an explicit _mix pass.
+    Padded-cycle ledger at text shapes (Np=80 -> 128 output lanes):
+    * 'perhead' (default): true-FLOP K=d dots straight off lane slices —
+      h x (Np * d * 128pad) ~ 8x fewer padded MACs than the colcat score
+      matmul; the conv_l mix costs an explicit _mix pass and per-dot
+      Mosaic overhead is the open risk.
+    * 'scaled': the head weight rides on q as a lane-broadcast multiply
+      and each chunk dot contracts the FULL feature dim.  MXU-shaped and
+      mix-free, but the [hc*Np, HD] x [Np -> 128pad] output padding makes
+      it ~1.5x MORE padded MACs than colcat at Np=80 — kept only as an
+      A/B reference and for geometries where Np is lane-aligned.
     """
     import os
 
-    return os.environ.get("DISTILLCLIP_TF_SCORES", "scaled")
+    return os.environ.get("DISTILLCLIP_TF_SCORES", "perhead")
 
 
 def _scores_scaled(q, k, lane_w, Qs, S, h, hc, np_len):
