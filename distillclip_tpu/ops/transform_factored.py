@@ -18,16 +18,17 @@ This module factorizes instead:
 Everything lives in a sublane-packed ``[h*Np, Np]`` scratch layout (kv
 positions on lanes), so softmax is a plain row reduction (per-head row
 max — no cross-head underflow guard needed, unlike the colcat block
-softmax) and the mixes are aligned ``[Np, Np]`` tile scale-adds.  Score
-dots can be chunked ``hc`` heads at a time (one ``[hc*Np, d] x [d,
-hc*Np]`` dot computes an hc-fold-inflated cross-head block; the diagonal
-blocks are extracted) — ``hc`` trades per-dot Mosaic overhead against
-inflation and is picked by measured shape rules.
+softmax).  All per-head operands are direct lane slices of the fused qkv
+block — no packing scratch.  Score/dPm dots have two strategies
+(``DISTILLCLIP_TF_SCORES``, see ``_scores_mode``): true-FLOP 'perhead'
+K=d dots (default) or 'scaled' full-K chunk dots with the mix folded
+onto q.  The head mixes run as h^2 aligned tile FMAs or h roll passes
+(``DISTILLCLIP_TF_MIX=roll``, for large h).
 
 The backward reuses the saved probs P' (same save-P strategy as the
-colcat kernel) and is true-FLOP as well: dPm/dv/dq/dk per-head dots, the
-two un-mixes as tile FMAs, and dwl/dww via repeat+lane-reduce+indicator
-matmuls.
+colcat kernel) and is true-FLOP on the output side: dv/dq/dk per-head
+dots, the two un-mixes as tile FMAs, and dwl/dww via
+repeat+lane-reduce+indicator matmuls.
 
 Selected via ``DISTILLCLIP_TF_IMPL=factored`` (see
 transform_attention.transform_attention_rows_qkv); the colcat kernel
