@@ -143,7 +143,10 @@ def _mix(W_ref, src, dst, h, np_len, transpose=False):
       h^2 over [Np, Np] tiles: same FLOPs, ~h-fold fewer instructions —
       matters at h=24 (576-statement unrolls per mix).
     """
-    W = W_ref[...]
+    # f32 at load: a mixed-dtype dot against the f32 indicator lowers to a
+    # fused convert+broadcast Mosaic rejects ("source and result must have
+    # same element type", probed on hardware).
+    W = W_ref[...].astype(jnp.float32)
     if _mix_mode() == "roll":
         HN = h * np_len
         r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
@@ -179,11 +182,15 @@ def _mix(W_ref, src, dst, h, np_len, transpose=False):
         dst[...] = acc
         return
     for b in range(h):
-        w0 = W[0:1, b:b + 1] if transpose else W[b:b + 1, 0:1]
-        acc = w0 * src[0:np_len, :]
-        for j in range(1, h):
+        acc = None
+        for j in range(h):
             wj = W[j:j + 1, b:b + 1] if transpose else W[b:b + 1, j:j + 1]
-            acc = acc + wj * src[j * np_len:(j + 1) * np_len, :]
+            # Mosaic has no [1,1] -> [Np, Np] broadcast ("both sublanes and
+            # lanes"); chain two single-axis broadcasts instead: sublanes
+            # explicitly, lanes implicitly in the multiply.
+            wcol = jnp.broadcast_to(wj, (np_len, 1))
+            term = wcol * src[j * np_len:(j + 1) * np_len, :]
+            acc = term if acc is None else acc + term
         dst[b * np_len:(b + 1) * np_len, :] = acc
 
 
