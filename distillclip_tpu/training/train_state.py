@@ -52,7 +52,17 @@ class TrainState:
 
         Grad AND update masking: masking only grads would still let AdamW's
         decoupled weight decay move frozen parameters.
+
+        The optimization barrier between backward and optimizer is a TPU
+        layout fix: without it XLA fuses the AdamW elementwise chain into
+        the dW matmuls' output, forcing f32 3-output window configs that run
+        the SAME dW dot ~40% slower (text-step trace: fc2 dW 3.42 ms fused
+        vs 2.45 ms plain; backend_config estimated_cycles 8.3M vs 4.2M).
+        AdamW then runs as its own bandwidth-bound loop fusion, which is
+        what the cost model expects it to be.
         """
+        if jax.default_backend() in ("tpu", "axon"):
+            grads = jax.lax.optimization_barrier(grads)
         grads = apply_mask(grads, trainable_mask)
         updates, new_opt_state = tx.update(grads, self.opt_state, self.params)
         updates = apply_mask(updates, trainable_mask)
