@@ -300,24 +300,12 @@ def _dense_act_ln_bwd(act, eps, res, dh):
     else:  # quick_gelu
         gp = ef + 1.702 * uf * ef * (1.0 - ef)
     du = (dh.astype(jnp.float32) * gp).astype(dh.dtype)
-    xhat = (x.astype(jnp.float32) - mean) * rstd              # [rows, C] f32
-    xn = (xhat * ls.astype(jnp.float32) + lb.astype(jnp.float32)).astype(x.dtype)
+    dx, xn, dls, dlb = _dln_bwd_call(x, ls, lb, w, du, mean, rstd)
     dw = jax.lax.dot_general(
         xn, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).astype(w.dtype)
     db = jnp.sum(du.astype(jnp.float32), axis=0).astype(w.dtype)
-    dxn = jax.lax.dot_general(
-        du, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )                                                          # [rows, C] f32
-    dls = jnp.sum(dxn * xhat, axis=0).astype(ls.dtype)
-    dlb = jnp.sum(dxn, axis=0).astype(lb.dtype)
-    dxhat = dxn * ls.astype(jnp.float32)
-    dx = rstd * (
-        dxhat
-        - jnp.mean(dxhat, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    )
-    return dx.astype(x.dtype), dls, dlb, dw, db
+    return dx, dls.astype(ls.dtype), dlb.astype(lb.dtype), dw, db
 
 
 _dense_act_ln.defvjp(_dense_act_ln_fwd, _dense_act_ln_bwd)
@@ -414,25 +402,13 @@ def _dense_ln_fwd(x, ls, lb, w, b, eps):
 
 def _dense_ln_bwd(eps, res, du):
     x, ls, lb, w, b, mean, rstd = res
-    du32 = du.astype(jnp.float32)
-    xhat = (x.astype(jnp.float32) - mean) * rstd
-    xn = (xhat * ls.astype(jnp.float32) + lb.astype(jnp.float32)).astype(x.dtype)
+    dx, xn, dls, dlb = _dln_bwd_call(x, ls, lb, w, du, mean, rstd)
     dw = jax.lax.dot_general(
         xn, du, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).astype(w.dtype)
-    db = (jnp.sum(du32, axis=0).astype(w.dtype) if b is not None else None)
-    dxn = jax.lax.dot_general(
-        du, w, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
-    )
-    dls = jnp.sum(dxn * xhat, axis=0).astype(ls.dtype)
-    dlb = jnp.sum(dxn, axis=0).astype(lb.dtype)
-    dxhat = dxn * ls.astype(jnp.float32)
-    dx = rstd * (
-        dxhat
-        - jnp.mean(dxhat, axis=-1, keepdims=True)
-        - xhat * jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
-    )
-    return dx.astype(x.dtype), dls, dlb, dw, db
+    db = (jnp.sum(du.astype(jnp.float32), axis=0).astype(w.dtype)
+          if b is not None else None)
+    return dx, dls.astype(ls.dtype), dlb.astype(lb.dtype), dw, db
 
 
 _dense_ln.defvjp(_dense_ln_fwd, _dense_ln_bwd)
@@ -499,3 +475,73 @@ def _fc1_ln_h_call(x, ls, lb, w, b, act, eps):
         ),
         interpret=_interpret(),
     )(x, ls.reshape(1, C), lb.reshape(1, C), w, b.reshape(1, H))
+
+# ---------------------------------------------------------------------------
+# Fused LN-backward kernel shared by the dense_ln / dense_act_ln VJPs
+# ---------------------------------------------------------------------------
+
+def _dln_bwd_kernel(x_ref, ls_ref, lb_ref, wt_ref, du_ref, mean_ref, rstd_ref,
+                    dx_ref, xn_ref, dls_ref, dlb_ref):
+    """dx/xn/dls/dlb of u = LN(x) @ w in one pass, dxn never leaving VMEM.
+
+    The XLA formulation of this backward materializes the f32 [rows, C]
+    dxn = du @ w^T in HBM and re-reads it for the dls/dlb reduces, the two
+    per-row moments, and the dx combine (~250 MB x 3 round trips per layer
+    at text scale — the `multiply_reduce_fusion` family in the device
+    trace).  Here the dot runs per row block on the MXU and every f32
+    intermediate dies in VMEM; the only HBM traffic is the bf16 operands
+    and the bf16 dx/xn outputs.  xn is emitted for the external dW matmul
+    (dw = xn^T @ du), which XLA already runs at 56-96% MFU.
+    """
+    step = pl.program_id(0)
+
+    @pl.when(step == 0)
+    def _init():
+        dls_ref[...] = jnp.zeros_like(dls_ref)
+        dlb_ref[...] = jnp.zeros_like(dlb_ref)
+
+    c = x_ref.shape[-1]
+    ls = ls_ref[...].astype(jnp.float32)
+    xhat = (x_ref[...].astype(jnp.float32) - mean_ref[...]) * rstd_ref[...]
+    xn = xhat * ls + lb_ref[...].astype(jnp.float32)
+    xn_ref[...] = xn.astype(xn_ref.dtype)
+    dxn = jax.lax.dot_general(
+        du_ref[...], wt_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dls_ref[...] += jnp.sum(dxn * xhat, axis=0, keepdims=True)
+    dlb_ref[...] += jnp.sum(dxn, axis=0, keepdims=True)
+    dxhat = dxn * ls
+    m1 = jnp.sum(dxhat, axis=-1, keepdims=True) * (1.0 / c)
+    m2 = jnp.sum(dxhat * xhat, axis=-1, keepdims=True) * (1.0 / c)
+    dx_ref[...] = (rstd_ref[...] * (dxhat - m1 - xhat * m2)).astype(dx_ref.dtype)
+
+
+def _dln_bwd_call(x, ls, lb, w, du, mean, rstd):
+    """Returns (dx, xn, dls, dlb); dls/dlb f32 [C]."""
+    rows, C = x.shape
+    H = w.shape[1]
+    wt = jnp.transpose(w)  # [H, C]; ~5 MB bf16 once per layer, grid-resident
+    blk_rows = _pick_rows_blk(rows)
+    xblk = pl.BlockSpec((blk_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    vblk = pl.BlockSpec((1, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((H, C), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    ublk = pl.BlockSpec((blk_rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec((blk_rows, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    dx, xn, dls, dlb = pl.pallas_call(
+        _dln_bwd_kernel,
+        grid=(rows // blk_rows,),
+        in_specs=[xblk, vblk, vblk, wblk, ublk, sblk, sblk],
+        out_specs=(xblk, xblk, vblk, vblk),
+        out_shape=(
+            jax.ShapeDtypeStruct((rows, C), x.dtype),
+            jax.ShapeDtypeStruct((rows, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x, ls.reshape(1, C), lb.reshape(1, C), wt, du, mean, rstd)
+    return dx, xn, dls.reshape(C), dlb.reshape(C)
