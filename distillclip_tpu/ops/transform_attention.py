@@ -175,7 +175,14 @@ def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
       contraction).
 
     Remaining matmuls per sample: dP, dVp, dq, dKp (the colcat-inherent
-    H-inflated four) + the cheap dwl/dww reductions.
+    H-inflated four).  The dwl/dww reductions are NOT cheap per sample —
+    at image shapes (h=24, Np=64) the [HN,HD]@[HD,h] reduction costs the
+    same MXU row-cycles as a main dot for a [h,h]-sized result — but the
+    weight grads sum over samples, and the Dcol/Drow chains are linear, so
+    the elementwise products accumulate in f32 across the gb loop and the
+    reduction matmuls run ONCE per grid step (1/gb the cycles).  `scale`
+    is folded into dS (one [Np,HN] multiply) instead of scaling the dq and
+    dKp dot outputs ([Np,HD] + [HN,HD] multiplies).
     """
     HN = h * np_len
     HD = h * d
@@ -208,15 +215,19 @@ def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
         dwl_ref[...] = jnp.zeros_like(dwl_ref)
         dww_ref[...] = jnp.zeros_like(dww_ref)
 
-    dwl_acc = jnp.zeros((h, h), jnp.float32)
-    dww_acc = jnp.zeros((h, h), jnp.float32)
-
     def block_sum(x32):
-        # sum the h row-blocks of an [HN, HD] value -> [Np, HD] (VPU adds)
-        acc = x32[0:np_len, :]
-        for b in range(1, h):
-            acc = acc + x32[b * np_len:(b + 1) * np_len, :]
-        return acc
+        # sum the h row-blocks of an [HN, HD] value -> [Np, HD]: tree-paired
+        # VPU adds (a serial h-chain starves the VPU of ILP at h=24)
+        parts = [x32[b * np_len:(b + 1) * np_len, :] for b in range(h)]
+        while len(parts) > 1:
+            nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
+            if len(parts) % 2:
+                nxt.append(parts[-1])
+            parts = nxt
+        return parts[0]
+
+    dwwE = jnp.zeros((HN, HD), jnp.float32)
+    dwlE = jnp.zeros((HN, HD), jnp.float32)
 
     for s in range(gb):
         lo = s * np_len
@@ -238,41 +249,46 @@ def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
         dVw = dVp * WWX.astype(jnp.float32)
         # dv[j] = sum_g dVw[(g,j)] — row-block sum, no matmul
         dqkv_ref[lo:lo + np_len, 2 * HD:3 * HD] = block_sum(dVw).astype(dqkv_ref.dtype)
-        # dVp rows are (g,j) blocks (unlike dKp whose rows are (h,j)), so
-        # contract columns first then rows to land [h, g] without transpose
-        dww_e = (dVp * vx.astype(jnp.float32)).astype(jnp.bfloat16)
-        tw = jax.lax.dot_general(
-            dww_e, Dcol.astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [HN(g,j), h]
-        dww_acc += jax.lax.dot_general(
-            tw, Drow, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [h, g]
-        # ---- block-local softmax backward
+        dwwE += dVp * vx.astype(jnp.float32)
+        # ---- block-local softmax backward (scale folded into dS: dq and
+        # dKp are linear in dS, so one [Np,HN] multiply covers both)
         pdp = (p * dP).astype(jnp.bfloat16)
         tsum = jax.lax.dot_general(pdp, Dsm, (((1,), (0,)), ((), ())),
                                    preferred_element_type=jnp.float32)  # [Np,h]
         tfull = jax.lax.dot_general(tsum, Drow, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32)
-        dS = (p * (dP - tfull)).astype(jnp.bfloat16)     # [Np, HN]
+        dS = (p * scale * (dP - tfull)).astype(jnp.bfloat16)  # [Np, HN]
         # ---- score side
-        dqkv_ref[lo:lo + np_len, 0:HD] = (jax.lax.dot_general(
+        dqkv_ref[lo:lo + np_len, 0:HD] = jax.lax.dot_general(
             dS, Kp, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale).astype(dqkv_ref.dtype)
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
         dKp = jax.lax.dot_general(
             dS, q_blk, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [HN, HD]
+            preferred_element_type=jnp.float32)          # [HN, HD] (scaled)
         dKw = dKp * WLX.astype(jnp.float32)
         # dk[j] = sum_h dKw[(h,j)] — row-block sum, no matmul
         dqkv_ref[lo:lo + np_len, HD:2 * HD] = block_sum(dKw).astype(dqkv_ref.dtype)
-        dwl_e = (dKp * kx.astype(jnp.float32)).astype(jnp.bfloat16)
-        tl = jax.lax.dot_general(Dsm, dwl_e, (((0,), (0,)), ((), ())),
-                                 preferred_element_type=jnp.float32)
-        dwl_acc += jax.lax.dot_general(
-            tl, Dcol, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        dwlE += dKp * kx.astype(jnp.float32)
 
-    dwl_ref[...] += dwl_acc
-    dww_ref[...] += dww_acc
+    # Contract the big HN row dim FIRST with the small one-hot operand on
+    # the M side (M=h row-cycles), not the [HN,HD]@[HD,h] orientation whose
+    # M=HN streams as many MXU rows as a main dot.  Full-f32 dots: they run
+    # once per grid step now, and rounding the accumulated sums to bf16
+    # would make dwl/dww visibly depend on the gb grouping (sharded vs
+    # unsharded paths diverged past 2e-4).
+    # dVp rows are (g,j) blocks, so the row contraction lands [g, HD] and
+    # the (h,d)-column contraction is arranged to emit [h, g] directly.
+    tw = jax.lax.dot_general(
+        Drow, dwwE, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [g, (h,d)]
+    dww_ref[...] += jax.lax.dot_general(
+        Dcol, tw, (((0,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [h, g]
+    tl = jax.lax.dot_general(Drow, dwlE, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)  # [h, (g,d)]
+    dwl_ref[...] += jax.lax.dot_general(
+        tl, Dcol, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [h, g]
 
 
 def _tf_bwd_call(qkv2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
