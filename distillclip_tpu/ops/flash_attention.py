@@ -490,6 +490,31 @@ def flash_attention_rows_qkv(
         raise ValueError(f"flash_attention_rows requires N %% 16 == 0, got {seq}")
     valid = kv_len if kv_len is not None else seq
 
+    import os
+
+    # Non-causal option: plain attention as the colcat transform kernel
+    # with identity head mixes.  vs the packed-rows kernel this halves the
+    # score/output MXU row-cycles (M=Np dots against a [HN,HD] expansion
+    # instead of M=hc*Np packed dots) and cuts the softmax element count
+    # hc-fold (the packed score matrix exp's its masked cross-head blocks
+    # too); it pays two [HN,HD] VPU mask-multiplies + repeats instead of
+    # the 3*h per-sample packing stores.  DISTILLCLIP_PLAIN_ATTN=packed
+    # opts back to the packed kernel.
+    if (
+        not causal
+        and heads >= 12
+        and not _interpret()
+        and os.environ.get("DISTILLCLIP_PLAIN_ATTN", "colcat") == "colcat"
+    ):
+        from distillclip_tpu.ops.transform_attention import (
+            transform_attention_rows_qkv,
+        )
+
+        eye = jnp.eye(heads, dtype=qkvf.dtype)
+        return transform_attention_rows_qkv(
+            qkvf, eye, eye, heads=heads, seq=seq, scale=scale, kv_len=kv_len,
+        )
+
     def call(qkv):
         # block size from the (possibly per-shard) local batch
         gb = _pick_gb(qkv.shape[0] // seq, seq, HD)

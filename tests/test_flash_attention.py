@@ -438,3 +438,34 @@ def test_dense_ln_matches_oracle():
     assert rel(o_f2, o_r2) < 5e-3
     for name, a, e in zip(("dx", "dls", "dlb", "dw"), vjp_f2(du), vjp_r2(du)):
         assert rel(a, e) < 1e-2, name
+
+
+def test_identity_transform_is_plain_attention():
+    """The colcat plain-attention route (flash_attention_rows_qkv ->
+    transform kernel with identity mixes) is mathematically plain MHA.
+
+    The dispatch itself is hardware-only (packed kernel keeps CPU interpret
+    coverage), so this pins the equivalence it relies on: identity conv_l /
+    conv_w through transform_attention_rows equals reference attention,
+    including kv_len key masking.
+    """
+    from distillclip_tpu.ops.transform_attention import transform_attention_rows
+
+    B2, H2, N2, D2 = 2, 12, 32, 16
+    q2 = jax.random.normal(jax.random.PRNGKey(3), (B2, N2, H2 * D2), jnp.float32)
+    k2 = jax.random.normal(jax.random.PRNGKey(4), (B2, N2, H2 * D2), jnp.float32)
+    v2 = jax.random.normal(jax.random.PRNGKey(5), (B2, N2, H2 * D2), jnp.float32)
+    eye = jnp.eye(H2, dtype=q2.dtype)
+    to4 = lambda t: t.reshape(B2, N2, H2, D2).transpose(0, 2, 1, 3)
+    for kv_len in (None, 20):
+        o_id = transform_attention_rows(q2, k2, v2, eye, eye, heads=H2, kv_len=kv_len)
+        o_ref = reference_attention(
+            to4(q2), to4(k2), to4(v2), kv_len=kv_len
+        ).transpose(0, 2, 1, 3).reshape(B2, N2, H2 * D2)
+        n_ok = kv_len or N2
+        # the colcat kernel casts its expanded operands to bf16 internally
+        # (the towers feed it bf16 anyway); tolerance is bf16-product class
+        np.testing.assert_allclose(
+            np.asarray(o_id)[:, :n_ok], np.asarray(o_ref)[:, :n_ok],
+            rtol=5e-3, atol=5e-3,
+        )
