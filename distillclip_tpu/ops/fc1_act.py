@@ -85,6 +85,11 @@ def _fc1_kernel(x_ref, w_ref, b_ref, u_ref, e_ref, *, act):
 
 
 def _pick_rows_blk(rows: int) -> int:
+    import os
+
+    env = os.environ.get("DISTILLCLIP_FC1_BLK")
+    if env and rows % int(env) == 0:
+        return int(env)  # block-size override for hardware tuning
     for cand in (512, 256, 128, 64, 32, 16, 8):
         if rows % cand == 0:
             return cand

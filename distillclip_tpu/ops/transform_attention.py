@@ -215,10 +215,23 @@ def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
         dwl_ref[...] = jnp.zeros_like(dwl_ref)
         dww_ref[...] = jnp.zeros_like(dww_ref)
 
-    def block_sum(x32):
-        # sum the h row-blocks of an [HN, HD] value -> [Np, HD]: tree-paired
+    # dv[j,(h,d)] = sum_g ww[h,g] * dVp[(g,j),(h,d)] and
+    # dk[j,(g,d)] = sum_h wl[h,g] * dKp[(h,j),(g,d)]: instead of a full
+    # [HN,HD] mask-multiply (dVw/dKw) followed by a block sum, weight each
+    # row block by a broadcast [1,HD] row of the mix during the tree sum —
+    # the per-block multiplies become FMA leaves and the two [HN,HD]
+    # intermediates disappear.  WWrow[g,(h,d)] = ww[h,g];
+    # WLrow[h,(g,d)] = wl[h,g] (one-hot expansions, once per grid step).
+    WWrow = jax.lax.dot_general(ww, Dcol, (((0,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [g, HD]
+    WLrow = jax.lax.dot_general(wl, Dcol, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)  # [h, HD]
+
+    def wblock_sum(x32, wrow):
+        # sum_b wrow[b] (*) x32[b-block] -> [Np, HD]: tree-paired weighted
         # VPU adds (a serial h-chain starves the VPU of ILP at h=24)
-        parts = [x32[b * np_len:(b + 1) * np_len, :] for b in range(h)]
+        parts = [x32[b * np_len:(b + 1) * np_len, :] * wrow[b:b + 1, :]
+                 for b in range(h)]
         while len(parts) > 1:
             nxt = [parts[i] + parts[i + 1] for i in range(0, len(parts) - 1, 2)]
             if len(parts) % 2:
@@ -246,9 +259,8 @@ def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
         dVp = jax.lax.dot_general(
             pb, do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # [HN, HD]
-        dVw = dVp * WWX.astype(jnp.float32)
-        # dv[j] = sum_g dVw[(g,j)] — row-block sum, no matmul
-        dqkv_ref[lo:lo + np_len, 2 * HD:3 * HD] = block_sum(dVw).astype(dqkv_ref.dtype)
+        dqkv_ref[lo:lo + np_len, 2 * HD:3 * HD] = (
+            wblock_sum(dVp, WWrow).astype(dqkv_ref.dtype))
         dwwE += dVp * vx.astype(jnp.float32)
         # ---- block-local softmax backward (scale folded into dS: dq and
         # dKp are linear in dS, so one [Np,HN] multiply covers both)
@@ -265,9 +277,8 @@ def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
         dKp = jax.lax.dot_general(
             dS, q_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [HN, HD] (scaled)
-        dKw = dKp * WLX.astype(jnp.float32)
-        # dk[j] = sum_h dKw[(h,j)] — row-block sum, no matmul
-        dqkv_ref[lo:lo + np_len, HD:2 * HD] = block_sum(dKw).astype(dqkv_ref.dtype)
+        dqkv_ref[lo:lo + np_len, HD:2 * HD] = (
+            wblock_sum(dKp, WLrow).astype(dqkv_ref.dtype))
         dwlE += dKp * kx.astype(jnp.float32)
 
     # Contract the big HN row dim FIRST with the small one-hot operand on
