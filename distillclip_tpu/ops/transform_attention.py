@@ -14,11 +14,13 @@ ride on K; the output is linear in probs and v, so conv_w can ride on V):
            = dot(p_colcat, WWX * repeat(v, H))     -- NATURAL layout output
 
 with the weight-expansion masks WLX[(h,j),(g,d)] = Wl[h,g] and
-WWX[(g,j),(h,d)] = Ww[h,g] built once per grid step by block-indicator
-matmuls.  Each sample's attention is then: one tile-repeat + one VPU
-multiply + ONE MXU-shaped matmul on each side of a block softmax
-(global-row max, f32 exp, per-head-block denominators via an indicator
-matmul, 1e-30 underflow guard).
+WWX[(g,j),(h,d)] = Ww[h,g] built ONCE per kernel invocation by
+block-indicator matmuls into persistent VMEM scratch (grid step 0 only —
+rebuilding them every grid step cost ~0.5 ms/layer at text shapes).  Each
+sample's attention is then: one tile-repeat + one VPU multiply + ONE
+MXU-shaped matmul on each side of a block softmax (global-row max, f32
+exp, per-head-block denominators via an indicator matmul, 1e-30 underflow
+guard).
 
 Mosaic rules encoded here (probed on hardware, see BENCH_NOTES.md):
 matmul accumulators must be 32-bit; iotas built as [N,1]x[1,N] broadcast
@@ -28,11 +30,11 @@ broadcast adds are safe on plain 2D dot outputs (NOT on batched-dot
 outputs, which SIGABRT the compiler).
 
 Measured on v5e (B=128, H=24, Np=64, d=32, 6 layers): forward 3.39 ms at
-gb=16 vs 4.81 ms for the unfused XLA path.  The backward defaults to XLA
-recompute (pallas-fwd + XLA-recompute-bwd beats pure XLA end-to-end:
-9.75 vs 10.02 ms at gb=4); the fused backward kernel below is available
-via DISTILLCLIP_TF_BWD=kernel.  Shape dispatch, the earlier formulations,
-and why they lost are recorded in BENCH_NOTES.md.
+gb=16 vs 4.81 ms for the unfused XLA path.  The backward defaults to the
+fused save-P kernel since round 3 (the forward emits its bf16 probs as a
+second output; DISTILLCLIP_TF_BWD=xla opts back to XLA recompute).  Shape
+dispatch, the earlier formulations, and why they lost are recorded in
+BENCH_NOTES.md.
 """
 
 from __future__ import annotations
@@ -59,8 +61,62 @@ def _interpret() -> bool:
         return True
 
 
-def _tf_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref=None,
-               *, scale, gb, h, np_len, n, d):
+def _interleave(gb: int) -> int:
+    """Samples whose kernel stages are emitted interleaved (ILP distance).
+
+    DISTILLCLIP_TF_IL overrides; rounded down to a divisor of gb.  Measured
+    NEUTRAL on v5e at 1/2/4/8 (Mosaic schedules the serial per-sample chain
+    as well either way); kept because the staged form is what the scratch
+    and ablation experiments run on.
+    """
+    il = int(os.environ.get("DISTILLCLIP_TF_IL", "4"))
+    while gb % il:
+        il //= 2
+    return max(il, 1)
+
+
+def _build_mix_expansions(wl_ref, ww_ref, h, np_len, d,
+                          wlx_ref, wwx_ref):
+    """WLX[(h,j),(g,d)] = wl[h,g]; WWX[(g,j),(h,d)] = ww[h,g].
+
+    Built by block-indicator matmuls into persistent scratch at grid step 0
+    only: the [HN,h]@[h,HD] expansion dots cost ~M=HN row-cycles each, and
+    rebuilding them every grid step was ~5% of the kernel (B/gb rebuilds).
+    Returns (Drow, Dsm, WLX, WWX) values for the current step.
+    """
+    HN = h * np_len
+    HD = h * d
+    # block indicators ([rows -> head index]); [X,1]x[1,h] compares keep the
+    # scoped-VMEM cost tiny compared to full 2D iota pairs
+    r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
+    c1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
+    Drow = (r1 // np_len == c1).astype(jnp.float32)          # [(x,j) -> x]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _build():
+        r2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 0)
+        c2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 1)
+        Dcol = (r2 // d == c2).astype(jnp.float32)           # [(x,d) -> x]
+        wl = wl_ref[...].astype(jnp.float32)
+        ww = ww_ref[...].astype(jnp.float32)
+        # WLX : Drow @ wl @ Dcol^T
+        t1 = jax.lax.dot_general(Drow, wl, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        wlx_ref[...] = jax.lax.dot_general(
+            t1, Dcol, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+        # WWX : Drow @ ww^T @ Dcol^T
+        t2 = jax.lax.dot_general(Drow, ww, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        wwx_ref[...] = jax.lax.dot_general(
+            t2, Dcol, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    return Drow, Drow.astype(jnp.bfloat16), wlx_ref[...], wwx_ref[...]
+
+
+def _tf_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref=None, wlx_ref=None,
+               wwx_ref=None, *, scale, gb, h, np_len, n, d):
     """qkv_ref: fused [rows_blk, 3*HD] projection output.
 
     Taking the fused array as ONE operand (lane-sliced in VMEM, 768 is a
@@ -70,66 +126,60 @@ def _tf_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref=None,
     """
     HN = h * np_len
     HD = h * d
-    # block indicators ([rows -> head index]); [X,1]x[1,h] compares keep the
-    # scoped-VMEM cost tiny compared to full 2D iota pairs
-    r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
-    c1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
-    Drow = (r1 // np_len == c1).astype(jnp.float32)          # [(x,j) -> x]
-    r2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 0)
-    c2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 1)
-    Dcol = (r2 // d == c2).astype(jnp.float32)               # [(x,d) -> x]
-
-    wl = wl_ref[...].astype(jnp.float32)
-    ww = ww_ref[...].astype(jnp.float32)
-    # WLX[(h,j),(g,d)] = wl[h,g] : Drow @ wl @ Dcol^T
-    t1 = jax.lax.dot_general(Drow, wl, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    WLX = jax.lax.dot_general(t1, Dcol, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)         # [HN, HD]
-    # WWX[(g,j),(h,d)] = ww[h,g] : Drow @ ww^T @ Dcol^T
-    t2 = jax.lax.dot_general(Drow, ww, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    WWX = jax.lax.dot_general(t2, Dcol, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)         # [HN, HD]
+    Drow, Dsm, WLX, WWX = _build_mix_expansions(
+        wl_ref, ww_ref, h, np_len, d, wlx_ref, wwx_ref)
 
     # kv-pad mask on colcat lanes ([1,HN]; broadcasts over the row dim)
     ccol = jax.lax.broadcasted_iota(jnp.int32, (1, HN), 1)
     kv_bias = jnp.where((ccol % np_len) < n, 0.0, NEG_INF).astype(jnp.float32)
-    Dsm = Drow.astype(jnp.bfloat16)
 
-    for s in range(gb):
-        lo = s * np_len
+    # Sample-interleaved stages: the per-sample chain is a strict
+    # MXU->VPU->MXU dependency (score dot -> softmax -> output dot), so a
+    # plain per-sample loop serializes the units.  Emitting each stage for
+    # `il` independent samples back-to-back gives the Mosaic scheduler
+    # nearby independent work to overlap MXU and VPU issue.
+    il = _interleave(gb)
+    for base in range(0, gb, il):
+        los = [(base + t) * np_len for t in range(il)]
         # 1) conv_l-mixed scores, ONE matmul into colcat [Np, (h,j)]
-        kx = pltpu.repeat(qkv_ref[lo:lo + np_len, HD:2 * HD], h, 0)  # [HN, HD]
-        s2 = jax.lax.dot_general(
-            qkv_ref[lo:lo + np_len, 0:HD], WLX * kx, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale + kv_bias
+        s2s = []
+        for lo in los:
+            kx = pltpu.repeat(qkv_ref[lo:lo + np_len, HD:2 * HD], h, 0)
+            s2s.append(jax.lax.dot_general(
+                qkv_ref[lo:lo + np_len, 0:HD], WLX * kx,
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale + kv_bias)
         # 2) block softmax with global-row max; per-head-block denominators
-        m = jnp.max(s2, axis=-1, keepdims=True)
-        e = jnp.exp(s2 - m)
-        denom = jax.lax.dot_general(
-            e.astype(jnp.bfloat16), Dsm, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [Np, h]
-        denom_full = jax.lax.dot_general(
-            denom, Drow, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [Np, HN]
-        # guard: with a global-row max, a head whose logits sit far below
-        # another head's can underflow entirely; keep it at zero, not NaN
-        p = e / jnp.maximum(denom_full, 1e-30)
-        pb = p.astype(jnp.bfloat16)
-        if p_ref is not None:
-            # save-P training path: the backward reuses exactly the bf16
-            # probs the output matmul consumed (no recompute, bit-identical)
-            p_ref[lo:lo + np_len, :] = pb
+        es = []
+        for s2 in s2s:
+            m = jnp.max(s2, axis=-1, keepdims=True)
+            es.append(jnp.exp(s2 - m))
+        pbs = []
+        for lo, e in zip(los, es):
+            denom = jax.lax.dot_general(
+                e.astype(jnp.bfloat16), Dsm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [Np, h]
+            denom_full = jax.lax.dot_general(
+                denom, Drow, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [Np, HN]
+            # guard: with a global-row max, a head whose logits sit far
+            # below another head's can underflow entirely; keep it at
+            # zero, not NaN
+            pb = (es[len(pbs)] / jnp.maximum(denom_full, 1e-30)
+                  ).astype(jnp.bfloat16)
+            pbs.append(pb)
+            if p_ref is not None:
+                # save-P training path: the backward reuses exactly the
+                # bf16 probs the output matmul consumed (no recompute)
+                p_ref[lo:lo + np_len, :] = pb
         # 3) conv_w-mixed output, ONE matmul emitting the natural layout
-        vx = pltpu.repeat(qkv_ref[lo:lo + np_len, 2 * HD:3 * HD], h, 0)  # [HN, HD]
-        o = jax.lax.dot_general(
-            pb, WWX * vx, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)              # [Np, HD]
-        o_ref[lo:lo + np_len, :] = o.astype(o_ref.dtype)
+        for lo, pb in zip(los, pbs):
+            vx = pltpu.repeat(qkv_ref[lo:lo + np_len, 2 * HD:3 * HD], h, 0)
+            o = jax.lax.dot_general(
+                pb, WWX * vx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [Np, HD]
+            o_ref[lo:lo + np_len, :] = o.astype(o_ref.dtype)
 
 
 def _tf_fwd_call(qkv2, wl, ww, scale, n, gb, np_len, h, d, save_p=False):
@@ -146,13 +196,22 @@ def _tf_fwd_call(qkv2, wl, ww, scale, n, gb, np_len, h, d, save_p=False):
          jax.ShapeDtypeStruct((rows_total, h * np_len), jnp.bfloat16))
         if save_p else jax.ShapeDtypeStruct((rows_total, HD), qkv2.dtype)
     )
+    body = functools.partial(_tf_kernel, scale=scale, gb=gb, h=h,
+                             np_len=np_len, n=n, d=d)
+    if save_p:
+        kern = lambda q, l, w, o, p, wlx, wwx: body(
+            q, l, w, o, p, wlx_ref=wlx, wwx_ref=wwx)
+    else:
+        kern = lambda q, l, w, o, wlx, wwx: body(
+            q, l, w, o, None, wlx_ref=wlx, wwx_ref=wwx)
     return pl.pallas_call(
-        functools.partial(_tf_kernel, scale=scale, gb=gb, h=h,
-                          np_len=np_len, n=n, d=d),
+        kern,
         grid=(rows_total // rows_blk,),
         in_specs=[blk3, w_blk, w_blk],
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=[pltpu.VMEM((h * np_len, HD), jnp.bfloat16),
+                        pltpu.VMEM((h * np_len, HD), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             # WLX/WWX and the per-sample repeats are [HN,HD] register-resident
             # values (~2.3MB each bf16 at H=24,Np=64); 16MB default is tight
@@ -163,7 +222,7 @@ def _tf_fwd_call(qkv2, wl, ww, scale, n, gb, np_len, h, d, save_p=False):
 
 
 def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
-                   dqkv_ref, dwl_ref, dww_ref,
+                   dqkv_ref, dwl_ref, dww_ref, wlx_ref, wwx_ref,
                    *, scale, gb, h, np_len, n, d):
     """Fused save-P backward (round-3 rework; BENCH_NOTES 'Next levers' 2).
 
@@ -186,27 +245,13 @@ def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
     """
     HN = h * np_len
     HD = h * d
-    r1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 0)
-    c1 = jax.lax.broadcasted_iota(jnp.int32, (HN, h), 1)
-    Drow = (r1 // np_len == c1).astype(jnp.float32)
+    Drow, Dsm, WLX, WWX = _build_mix_expansions(
+        wl_ref, ww_ref, h, np_len, d, wlx_ref, wwx_ref)
     r2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 0)
     c2 = jax.lax.broadcasted_iota(jnp.int32, (HD, h), 1)
     Dcol = (r2 // d == c2).astype(jnp.float32)
-
     wl = wl_ref[...].astype(jnp.float32)
     ww = ww_ref[...].astype(jnp.float32)
-    t1 = jax.lax.dot_general(Drow, wl, (((1,), (0,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    WLX = jax.lax.dot_general(t1, Dcol, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)
-    t2 = jax.lax.dot_general(Drow, ww, (((1,), (1,)), ((), ())),
-                             preferred_element_type=jnp.float32)
-    WWX = jax.lax.dot_general(t2, Dcol, (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32
-                              ).astype(jnp.bfloat16)
-
-    Dsm = Drow.astype(jnp.bfloat16)
 
     step = pl.program_id(0)
 
@@ -242,44 +287,63 @@ def _tf_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
     dwwE = jnp.zeros((HN, HD), jnp.float32)
     dwlE = jnp.zeros((HN, HD), jnp.float32)
 
-    for s in range(gb):
-        lo = s * np_len
-        q_blk = qkv_ref[lo:lo + np_len, 0:HD]
-        kx = pltpu.repeat(qkv_ref[lo:lo + np_len, HD:2 * HD], h, 0)
-        vx = pltpu.repeat(qkv_ref[lo:lo + np_len, 2 * HD:3 * HD], h, 0)
-        Kp = WLX * kx
-        Vp = WWX * vx
-        pb = p_ref[lo:lo + np_len, :]                   # [Np, HN] bf16 (saved)
-        p = pb.astype(jnp.float32)
-        do_blk = do_ref[lo:lo + np_len, :]
+    # Stage-interleaved sample loop (see _tf_kernel): each sample's chain
+    # alternates MXU and VPU; emitting stages for `il` independent samples
+    # back-to-back lets the scheduler overlap the units.  The dwwE/dwlE
+    # accumulation order over samples is unchanged (still ascending s), so
+    # weight grads stay bit-identical to the serial loop.
+    il = _interleave(gb)
+    for base in range(0, gb, il):
+        los = [(base + t) * np_len for t in range(il)]
+        kxs = [pltpu.repeat(qkv_ref[lo:lo + np_len, HD:2 * HD], h, 0)
+               for lo in los]
+        vxs = [pltpu.repeat(qkv_ref[lo:lo + np_len, 2 * HD:3 * HD], h, 0)
+               for lo in los]
+        pbs = [p_ref[lo:lo + np_len, :] for lo in los]  # [Np, HN] bf16
+        dos = [do_ref[lo:lo + np_len, :] for lo in los]
         # ---- output side
-        dP = jax.lax.dot_general(
-            do_blk, Vp, (((1,), (1,)), ((), ())),
+        dPs = [jax.lax.dot_general(
+            do_blk, WWX * vx, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)         # [Np, HN]
-        dVp = jax.lax.dot_general(
+            for do_blk, vx in zip(dos, vxs)]
+        dVps = [jax.lax.dot_general(
             pb, do_blk, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)         # [HN, HD]
-        dqkv_ref[lo:lo + np_len, 2 * HD:3 * HD] = (
-            wblock_sum(dVp, WWrow).astype(dqkv_ref.dtype))
-        dwwE += dVp * vx.astype(jnp.float32)
+            for pb, do_blk in zip(pbs, dos)]
+        for lo, dVp in zip(los, dVps):
+            dqkv_ref[lo:lo + np_len, 2 * HD:3 * HD] = (
+                wblock_sum(dVp, WWrow).astype(dqkv_ref.dtype))
+        for dVp, vx in zip(dVps, vxs):
+            dwwE += dVp * vx.astype(jnp.float32)
         # ---- block-local softmax backward (scale folded into dS: dq and
         # dKp are linear in dS, so one [Np,HN] multiply covers both)
-        pdp = (p * dP).astype(jnp.bfloat16)
-        tsum = jax.lax.dot_general(pdp, Dsm, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)  # [Np,h]
-        tfull = jax.lax.dot_general(tsum, Drow, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-        dS = (p * scale * (dP - tfull)).astype(jnp.bfloat16)  # [Np, HN]
+        pdps = [(pb.astype(jnp.float32) * dP).astype(jnp.bfloat16)
+                for pb, dP in zip(pbs, dPs)]
+        tfulls = []
+        for pdp in pdps:
+            tsum = jax.lax.dot_general(
+                pdp, Dsm, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)      # [Np, h]
+            tfulls.append(jax.lax.dot_general(
+                tsum, Drow, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        dSs = [(pb.astype(jnp.float32) * scale * (dP - tfull)
+                ).astype(jnp.bfloat16)                   # [Np, HN]
+               for pb, dP, tfull in zip(pbs, dPs, tfulls)]
         # ---- score side
-        dqkv_ref[lo:lo + np_len, 0:HD] = jax.lax.dot_general(
-            dS, Kp, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
-        dKp = jax.lax.dot_general(
-            dS, q_blk, (((0,), (0,)), ((), ())),
+        for lo, dS, kx in zip(los, dSs, kxs):
+            dqkv_ref[lo:lo + np_len, 0:HD] = jax.lax.dot_general(
+                dS, WLX * kx, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dqkv_ref.dtype)
+        dKps = [jax.lax.dot_general(
+            dS, qkv_ref[lo:lo + np_len, 0:HD], (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [HN, HD] (scaled)
-        dqkv_ref[lo:lo + np_len, HD:2 * HD] = (
-            wblock_sum(dKp, WLrow).astype(dqkv_ref.dtype))
-        dwlE += dKp * kx.astype(jnp.float32)
+            for lo, dS in zip(los, dSs)]
+        for lo, dKp in zip(los, dKps):
+            dqkv_ref[lo:lo + np_len, HD:2 * HD] = (
+                wblock_sum(dKp, WLrow).astype(dqkv_ref.dtype))
+        for dKp, kx in zip(dKps, kxs):
+            dwlE += dKp * kx.astype(jnp.float32)
 
     # Contract the big HN row dim FIRST with the small one-hot operand on
     # the M side (M=h row-cycles), not the [HN,HD]@[HD,h] orientation whose
@@ -321,6 +385,8 @@ def _tf_bwd_call(qkv2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
             jax.ShapeDtypeStruct((h, h), jnp.float32),
             jax.ShapeDtypeStruct((h, h), jnp.float32),
         ],
+        scratch_shapes=[pltpu.VMEM((h * np_len, HD), jnp.bfloat16),
+                        pltpu.VMEM((h * np_len, HD), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
