@@ -96,6 +96,60 @@ def _pick_rows_blk(rows: int) -> int:
     return rows
 
 
+def _res_mode() -> str:
+    """Backward-residual mode: 'ue' (default) stores the kernel-computed
+    erf/sigmoid value alongside the pre-activation; 'u' stores only the
+    pre-activation and recomputes the transcendental in the XLA consumers.
+
+    'u' halves the fc1 kernel's output writes AND the (u, e) re-reads of the
+    fc2 operand fusion and the backward du fusion.  MEASURED NEGATIVE
+    (fenced, v5e-1, cached text B=1024 full step): 121.4 ms vs 116.5 default
+    — the modeled bytes do drop (32.0 -> 28.1 GB/step) but the XLA erf
+    recompute serializes inside the MXU-bound consumer fusions and costs
+    more than the bandwidth saved.  Kept as an A/B reference; distinct from
+    the also-negative jax.checkpoint variant (module docstring), which
+    additionally re-runs the elementwise tail as its own [rows, 4C] pass."""
+    import os
+
+    return os.environ.get("DISTILLCLIP_FC1_RES", "ue")
+
+
+def _act_e(uf, act):
+    """The activation's transcendental value e from f32 u, in XLA (u mode)."""
+    if act == "gelu_exact":
+        return jax.lax.erf(uf * _INV_SQRT2)
+    return jax.nn.sigmoid(1.702 * uf)  # quick_gelu
+
+
+def _fc1_u_kernel(x_ref, w_ref, b_ref, u_ref):
+    u = jax.lax.dot_general(
+        x_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) + b_ref[...].astype(jnp.float32)
+    u_ref[...] = u.astype(u_ref.dtype)
+
+
+def _fc1_u_call(x, w, b):
+    rows, C = x.shape
+    H = w.shape[1]
+    blk_rows = _pick_rows_blk(rows)
+    xblk = pl.BlockSpec((blk_rows, C), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    wblk = pl.BlockSpec((C, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    bblk = pl.BlockSpec((1, H), lambda i: (0, 0), memory_space=pltpu.VMEM)
+    oblk = pl.BlockSpec((blk_rows, H), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _fc1_u_kernel,
+        grid=(rows // blk_rows,),
+        in_specs=[xblk, wblk, bblk],
+        out_specs=oblk,
+        out_shape=jax.ShapeDtypeStruct((rows, H), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=_interpret(),
+    )(x, w, b.reshape(1, H))
+
+
 def _fc1_call(x, w, b, act):
     rows, C = x.shape
     H = w.shape[1]
@@ -125,6 +179,17 @@ def _fc1_call(x, w, b, act):
 def _recombine(u, e, act):
     uf = u.astype(jnp.float32)
     ef = e.astype(jnp.float32)
+    if act == "gelu_exact":
+        h = 0.5 * uf * (1.0 + ef)
+    else:  # quick_gelu
+        h = uf * ef
+    return h.astype(u.dtype)
+
+
+def _recombine_u(u, act):
+    """h from u alone (u residual mode): one XLA transcendental, fused."""
+    uf = u.astype(jnp.float32)
+    ef = _act_e(uf, act)
     if act == "gelu_exact":
         h = 0.5 * uf * (1.0 + ef)
     else:  # quick_gelu
@@ -177,6 +242,12 @@ def _dense_act(x: Array, w: Array, b: Array, act: str) -> Array:
 
 
 def _dense_act_fwd(x, w, b, act):
+    if _res_mode() == "u":
+        # u-only residual: e recomputed from u (XLA erf/sigmoid) in the fc2
+        # operand fusion here and in the du fusion of the backward
+        u = _fc1_u_call(x, w, b)
+        h = _recombine_u(u, act)
+        return h, (x, w, u, None)
     u, e = _fc1_call(x, w, b, act)
     # h is NOT a residual: consumers recombine it from (u, e) — XLA fuses
     # the multiply into the next matmul's operand read (same graph shape
@@ -187,7 +258,7 @@ def _dense_act_fwd(x, w, b, act):
 def _dense_act_bwd(act, res, dh):
     x, w, u, e = res
     uf = u.astype(jnp.float32)
-    ef = e.astype(jnp.float32)
+    ef = _act_e(uf, act) if e is None else e.astype(jnp.float32)
     if act == "gelu_exact":
         # gelu'(u) = Phi(u) + u phi(u); Phi from the saved erf value, phi
         # is a cheap exp (vs the erf recompute that made remat lose)
@@ -292,6 +363,11 @@ def _dense_act_ln(x, ls, lb, w, b, act, eps):
 
 
 def _dense_act_ln_fwd(x, ls, lb, w, b, act, eps):
+    if _res_mode() == "u":
+        # u-only residual: the LN+dense kernel already exists (_dense_ln_call
+        # emits u, mean, rstd); e is recomputed from u in the XLA consumers
+        u, mean, rstd = _dense_ln_call(x, ls, lb, w, b, eps)
+        return _recombine_u(u, act), (x, ls, lb, w, u, None, mean, rstd)
     u, e, mean, rstd = _fc1_ln_call(x, ls, lb, w, b, act, eps)
     return _recombine(u, e, act), (x, ls, lb, w, u, e, mean, rstd)
 
@@ -299,7 +375,7 @@ def _dense_act_ln_fwd(x, ls, lb, w, b, act, eps):
 def _dense_act_ln_bwd(act, eps, res, dh):
     x, ls, lb, w, u, e, mean, rstd = res
     uf = u.astype(jnp.float32)
-    ef = e.astype(jnp.float32)
+    ef = _act_e(uf, act) if e is None else e.astype(jnp.float32)
     if act == "gelu_exact":
         gp = 0.5 * (1.0 + ef) + uf * jnp.exp(-0.5 * uf * uf) * _INV_SQRT2PI
     else:  # quick_gelu
