@@ -483,8 +483,11 @@ def _tf_flat_qkv_bwd(scale, n, heads, np_len, res, do):
     # bwd block sweep at text B=1024 (fenced, round 3): gb=16 -> 154.5,
     # gb=8 -> 153.0, gb=4 -> 153.8 ms full step; the backward holds ~2x the
     # forward's live blocks (qkv,do,p + grads), so half the forward's
-    # row block pipelines better
-    gb = _pick_gb(rows_total // np_len, cap=8)
+    # row block pipelines better.  At wide-head shapes the blocks are wider
+    # still (HN=1536 scratch per sample at h=24): image-shape microbench
+    # (B=256, N=64, H=24, 6L f+b, fenced) gb=8 -> 20.8, gb=4 -> 19.0-19.5,
+    # gb=2 -> 20.4 ms, so the cap halves again at heads >= 16
+    gb = _pick_gb(rows_total // np_len, cap=4 if heads >= 16 else 8)
     gb_env = os.environ.get("DISTILLCLIP_TF_BWD_GB")
     if gb_env and (rows_total // np_len) % int(gb_env) == 0:
         gb = int(gb_env)  # bwd block-size override for tuning
