@@ -238,10 +238,11 @@ class InstrumentedAttention(nn.Module):
             and N <= 256
         )
 
-        if flash_ok and N % 16 == 0:
+        if flash_ok and (N % 16 == 0 or rows_in):
             # rows-layout kernel: in rows mode the FUSED qkv projection
             # output feeds the kernel directly (lane-sliced in VMEM) — no
-            # transposes, no lane padding, no q/k/v slice materializations
+            # transposes, no lane padding, no q/k/v slice materializations.
+            # Unaligned N (true-N rows mode) pads inside the kernel entry.
             from distillclip_tpu.ops.flash_attention import (
                 flash_attention_rows,
                 flash_attention_rows_qkv,

@@ -192,11 +192,12 @@ class MiniAttention(nn.Module):
             and self.rpe_config is None
             and N <= 256
         )
-        if flash_ok and N % 16 == 0:
+        if flash_ok and (N % 16 == 0 or rows_in):
             # rows-layout kernels; in 2D rows mode the FUSED qkv projection
             # output feeds the kernel directly (one operand, lane-sliced in
             # VMEM) — the 3-slice variant cost 4.6 ms/step of pure copies
-            # (round-3 text trace)
+            # (round-3 text trace).  Unaligned N (true-N rows mode) pads
+            # inside the kernel entries.
             if self.use_transform:
                 from distillclip_tpu.ops.transform_attention import (
                     transform_attention_rows,
@@ -617,26 +618,34 @@ class RepeatVisionTransformer(nn.Module):
         # pad keys masked via kv_len; off when per-layer taps are requested
         # or when iRPE is active (bucket tables are length-specific)
         N0 = x.shape[1]
-        from distillclip_tpu.ops.flash_attention import flash_enabled
+        from distillclip_tpu.ops.flash_attention import (
+            flash_enabled, true_n_rows_enabled,
+        )
 
         pad_ok = (not flags.attn_tap() and not flags.need_rep
                   and self.rpe_config is None and flash_enabled())
         Npad = -(-N0 // 16) * 16 if pad_ok else N0
-        kv_len = N0 if (pad_ok and Npad != N0) else None
-        if Npad != N0:
-            x = jnp.pad(x, ((0, 0), (0, Npad - N0), (0, 0)))
 
         n_blocks = self.depth // self.repeated_times
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
 
-        # 2D rows mode: run every block on [B*Npad, C] so XLA keeps row-major
+        # 2D rows mode: run every block on [B*Nrun, C] so XLA keeps row-major
         # layouts on the denses (rank-3 towers get batch-minor layouts at
         # 35-58% MFU; the same math on 2D rows runs at ~80% — BENCH_NOTES
         # round 3).  Per-sample drop_path is shape-sensitive, so only when
         # it is inactive.
         rows_mode = pad_ok and (deterministic or self.drop_path_rate == 0.0)
+        # true-N rows: keep the tower at the real token count when padding
+        # would add >5% rows (ViT-B/32: 50->64 = +28% on every dense); the
+        # attention entries pad at the kernel boundary instead.
+        true_n = (rows_mode and Npad != N0 and true_n_rows_enabled()
+                  and (Npad - N0) * 20 > N0)
+        Nrun = N0 if true_n else Npad
+        kv_len = N0 if (pad_ok and Nrun != N0) else None
+        if Nrun != N0:
+            x = jnp.pad(x, ((0, 0), (0, Nrun - N0), (0, 0)))
         if rows_mode:
-            x = x.reshape(B * Npad, self.embed_dim)
+            x = x.reshape(B * Nrun, self.embed_dim)
 
         scores, probs, reps = [], [], []
         value_map = None
@@ -659,7 +668,7 @@ class RepeatVisionTransformer(nn.Module):
                 rpe_config=self.rpe_config,
                 seq_len=seq_len,
                 name=f"blocks_{b}",
-            )(x, flags, kv_len, deterministic, Npad if rows_mode else None)
+            )(x, flags, kv_len, deterministic, Nrun if rows_mode else None)
             x = block_out.hidden
             scores.append(block_out.attention_scores)
             probs.append(block_out.attention_probs)
@@ -673,13 +682,13 @@ class RepeatVisionTransformer(nn.Module):
             # per-row, so norm+head run on [B, C] instead of [B, N, C]
             # (identical pooled value; last_layer_output gets the same
             # [B, 1, D] stand-in the cached-teacher paths use)
-            cls_rows = (x[::Npad] if rows_mode else x[:, 0])
+            cls_rows = (x[::Nrun] if rows_mode else x[:, 0])
             rep = head(norm(cls_rows))
             full = rep[:, None, :]
         else:
             if rows_mode:
-                x = x.reshape(B, Npad, self.embed_dim)
-            if Npad != N0:
+                x = x.reshape(B, Nrun, self.embed_dim)
+            if Nrun != N0:
                 x = x[:, :N0]
             x = head(norm(x))
             rep, full = x[:, 0], x
@@ -749,23 +758,29 @@ class RepeatTextTransformer(nn.Module):
         # sequence-level padding; NOTE the student text model is
         # bidirectional (quirk preserved) so pad keys MUST be masked
         N0 = x.shape[1]
-        from distillclip_tpu.ops.flash_attention import flash_enabled
+        from distillclip_tpu.ops.flash_attention import (
+            flash_enabled, true_n_rows_enabled,
+        )
 
         pad_ok = (not flags.attn_tap() and not flags.need_rep
                   and self.rpe_config is None and flash_enabled())
         Npad = -(-N0 // 16) * 16 if pad_ok else N0
-        kv_len = N0 if (pad_ok and Npad != N0) else None
-        if Npad != N0:
-            x = jnp.pad(x, ((0, 0), (0, Npad - N0), (0, 0)))
 
         n_blocks = self.depth // self.repeated_times
         dpr = [self.drop_path_rate * i / max(self.depth - 1, 1) for i in range(self.depth)]
 
-        # 2D rows mode (see RepeatVisionTransformer)
+        # 2D rows mode (see RepeatVisionTransformer); true-N keeps the
+        # tower at the real token count when padding adds >5% rows
         B = x.shape[0]
         rows_mode = pad_ok and (deterministic or self.drop_path_rate == 0.0)
+        true_n = (rows_mode and Npad != N0 and true_n_rows_enabled()
+                  and (Npad - N0) * 20 > N0)
+        Nrun = N0 if true_n else Npad
+        kv_len = N0 if (pad_ok and Nrun != N0) else None
+        if Nrun != N0:
+            x = jnp.pad(x, ((0, 0), (0, Nrun - N0), (0, 0)))
         if rows_mode:
-            x = x.reshape(B * Npad, self.embed_dim)
+            x = x.reshape(B * Nrun, self.embed_dim)
 
         scores, probs, reps = [], [], []
         value_map = None
@@ -785,7 +800,7 @@ class RepeatTextTransformer(nn.Module):
                 seq_len=self.context_length,
                 name=f"blocks_{b}",
             )(x, flags, kv_len=kv_len, deterministic=deterministic,
-              seq=Npad if rows_mode else None)
+              seq=Nrun if rows_mode else None)
             x = block_out.hidden
             scores.append(block_out.attention_scores)
             probs.append(block_out.attention_probs)
@@ -801,15 +816,15 @@ class RepeatTextTransformer(nn.Module):
             eot_idx = jnp.argmax(tokens, axis=-1)                    # [B]
             if rows_mode:
                 rows = jnp.take(
-                    x, jnp.arange(B) * Npad + eot_idx, axis=0)       # [B, C]
+                    x, jnp.arange(B) * Nrun + eot_idx, axis=0)       # [B, C]
             else:
                 rows = eot_pool(x, tokens)
             rep = head(norm(rows))
             full = rep[:, None, :]
         else:
             if rows_mode:
-                x = x.reshape(B, Npad, self.embed_dim)
-            if Npad != N0:
+                x = x.reshape(B, Nrun, self.embed_dim)
+            if Nrun != N0:
                 x = x[:, :N0]
             x = head(norm(x))
             rep, full = eot_pool(x, tokens), x

@@ -102,20 +102,28 @@ class VisionTransformer(nn.Module):
         # keys via kv_len.  Skipped when per-layer taps are requested (their
         # shapes are part of the loss contract).
         N = x.shape[1]
-        from distillclip_tpu.ops.flash_attention import flash_enabled
+        from distillclip_tpu.ops.flash_attention import (
+            flash_enabled, true_n_rows_enabled,
+        )
 
         pad_ok = (not flags.attn_tap() and not flags.need_rep
                   and flash_enabled())  # padding only pays off for kernels
         Np = -(-N // 16) * 16 if pad_ok else N
-        kv_len = N if (pad_ok and Np != N) else None
-        if Np != N:
-            x = jnp.pad(x, ((0, 0), (0, Np - N), (0, 0)))
 
-        # 2D rows mode: run the stack on [B*Np, C] so XLA keeps row-major
+        # 2D rows mode: run the stack on [B*Nrun, C] so XLA keeps row-major
         # layouts on the denses (BENCH_NOTES round 3)
         rows_mode = pad_ok and (deterministic or self.drop_prob == 0.0)
+        # true-N rows: keep the tower at the real token count when padding
+        # would add >5% rows (ViT-B/32 teacher: 50->64 = +28% on every
+        # dense); the attention kernels pad at their boundary instead.
+        true_n = (rows_mode and Np != N and true_n_rows_enabled()
+                  and (Np - N) * 20 > N)
+        Nrun = N if true_n else Np
+        kv_len = N if (pad_ok and Nrun != N) else None
+        if Nrun != N:
+            x = jnp.pad(x, ((0, 0), (0, Nrun - N), (0, 0)))
         if rows_mode:
-            x = x.reshape(B * Np, self.width)
+            x = x.reshape(B * Nrun, self.width)
 
         t_out = Transformer(
             width=self.width,
@@ -125,9 +133,9 @@ class VisionTransformer(nn.Module):
             drop_prob=self.drop_prob,
             name="transformer",
         )(x, flags, mask=None, kv_len=kv_len, deterministic=deterministic,
-          seq=Np if rows_mode else None)
-        hidden = t_out.hidden.reshape(B, Np, self.width) if rows_mode else t_out.hidden
-        hidden = hidden[:, :N] if Np != N else hidden
+          seq=Nrun if rows_mode else None)
+        hidden = t_out.hidden.reshape(B, Nrun, self.width) if rows_mode else t_out.hidden
+        hidden = hidden[:, :N] if Nrun != N else hidden
         x = LayerNorm(name="ln_post")(hidden)
 
         proj = self.param(

@@ -72,6 +72,19 @@ def _interpret() -> bool:
         return True
 
 
+def true_n_rows_enabled() -> bool:
+    """2D rows mode at the TRUE sequence length.
+
+    With DISTILLCLIP_TRUE_N=1 the towers keep activations at [B*N0, C]
+    (N0 the real token count, e.g. 50 for ViT-B/32) instead of padding the
+    whole tower to a 16-multiple; the attention entry points pad/unpad at
+    the kernel boundary only.  At image shapes tower-level padding 50->64
+    adds 28% rows to EVERY dense/LN/MLP op — the per-layer qkv pad +
+    context unpad copies are the price (opt-in until the hardware A/B
+    lands; towers only switch when the pad overhead exceeds 5%)."""
+    return os.environ.get("DISTILLCLIP_TRUE_N", "0") == "1"
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -429,7 +442,8 @@ def flash_attention_rows(
     causal: bool = False,
     kv_len: Optional[int] = None,
 ) -> Array:
-    """Fused attention on the natural [B, N, H*d] layout (N a 16-multiple).
+    """Fused attention on the natural [B, N, H*d] layout (unaligned N pads
+    at the kernel boundary).
 
     Zero wrapper relayouts: inputs are direct slices of the fused QKV
     projection; the output feeds the out-projection unchanged.
@@ -487,7 +501,21 @@ def flash_attention_rows_qkv(
     if scale is None:
         scale = 1.0 / math.sqrt(d)
     if seq % 16 != 0:
-        raise ValueError(f"flash_attention_rows requires N %% 16 == 0, got {seq}")
+        # true-N rows mode: the tower runs at the real token count; pad to
+        # the kernel's 16-multiple here and slice the context back.  Pad
+        # keys are masked via kv_len (causal rows never see j >= seq
+        # anyway); pad query rows are sliced off, and their cotangent is
+        # zero by the pad transpose.
+        bsz = rows_total // seq
+        npk = _round_up(seq, 16)
+        qkv3 = qkvf.reshape(bsz, seq, HD3)
+        qkv3 = jnp.pad(qkv3, ((0, 0), (0, npk - seq), (0, 0)))
+        out = flash_attention_rows_qkv(
+            qkv3.reshape(bsz * npk, HD3), heads=heads, seq=npk, scale=scale,
+            causal=causal,
+            kv_len=min(kv_len, seq) if kv_len is not None else seq,
+        )
+        return out.reshape(bsz, npk, HD)[:, :seq].reshape(bsz * seq, HD)
     valid = kv_len if kv_len is not None else seq
 
     import os

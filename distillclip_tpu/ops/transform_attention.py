@@ -553,8 +553,6 @@ def transform_attention_rows_qkv(
     d = HD // heads
     if scale is None:
         scale = 1.0 / math.sqrt(d)
-    if seq % 16 != 0:
-        raise ValueError(f"transform_attention_rows requires N % 16 == 0, got {seq}")
     n = kv_len if kv_len is not None else seq
     # Measured dispatch (v5e, 6 layers, B=128): the folded kernel wins at
     # wide-head shapes (H=24: fwd 3.94 vs 4.8 ms) where XLA's [B,H,N,N]
@@ -569,6 +567,19 @@ def transform_attention_rows_qkv(
             to3(qkvf[:, 0:HD]), to3(qkvf[:, HD:2 * HD]), to3(qkvf[:, 2 * HD:]),
             wl, ww, float(scale), int(n), heads
         ).reshape(rows_total, HD)
+    if seq % 16 != 0:
+        # true-N rows mode (ops/flash_attention.true_n_rows_enabled): pad to
+        # the kernel's 16-multiple at the kernel boundary only; the XLA
+        # fallback above handles unaligned N natively so it never pads.
+        bsz = rows_total // seq
+        npk = -(-seq // 16) * 16
+        qkv3 = qkvf.reshape(bsz, seq, HD3)
+        qkv3 = jnp.pad(qkv3, ((0, 0), (0, npk - seq), (0, 0)))
+        out = transform_attention_rows_qkv(
+            qkv3.reshape(bsz * npk, HD3), wl, ww, heads=heads, seq=npk,
+            scale=scale, kv_len=min(n, seq),
+        )
+        return out.reshape(bsz, npk, HD)[:, :seq].reshape(bsz * seq, HD)
     from distillclip_tpu.ops._shard import shard_rows_call
 
     impl = os.environ.get("DISTILLCLIP_TF_IMPL", "colcat")

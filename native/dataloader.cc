@@ -246,10 +246,14 @@ int dc_decode_batch_files(const char** paths, int n, int size,
         fseek(f, 0, SEEK_END);
         long len = ftell(f);
         fseek(f, 0, SEEK_SET);
-        filebuf.resize(len);
-        if (fread(filebuf.data(), 1, len, f) == size_t(len)) {
-          ok = dc_decode_one(filebuf.data(), len, size, mean, stdv,
-                             out + stride * i) == 0;
+        // ftell failure (-1) -> huge size_t resize would throw in a worker
+        // thread and terminate the process (see dc_decode_raw_file)
+        if (len > 0) {
+          filebuf.resize(len);
+          if (fread(filebuf.data(), 1, len, f) == size_t(len)) {
+            ok = dc_decode_one(filebuf.data(), len, size, mean, stdv,
+                               out + stride * i) == 0;
+          }
         }
         fclose(f);
       }

@@ -469,3 +469,49 @@ def test_identity_transform_is_plain_attention():
             np.asarray(o_id)[:, :n_ok], np.asarray(o_ref)[:, :n_ok],
             rtol=5e-3, atol=5e-3,
         )
+
+
+def test_rows_qkv_unaligned_seq():
+    """true-N rows mode: unaligned seq pads at the kernel boundary only
+    (flash + transform entries), values and grads match the reference."""
+    from distillclip_tpu.ops.flash_attention import flash_attention_rows_qkv
+    from distillclip_tpu.ops.transform_attention import (
+        transform_attention_rows_qkv,
+    )
+
+    B2, H2, N2, D2 = 2, 4, 18, 16
+    HD = H2 * D2
+    key = jax.random.PRNGKey(11)
+    qkv = jax.random.normal(key, (B2 * N2, 3 * HD), jnp.float32) * 0.5
+    to4 = lambda t: t.reshape(B2, N2, H2, D2).transpose(0, 2, 1, 3)
+    frm = lambda t: t.transpose(0, 2, 1, 3).reshape(B2 * N2, HD)
+    q3, k3, v3 = (to4(qkv[:, i * HD:(i + 1) * HD]) for i in range(3))
+
+    for causal in (False, True):
+        o = flash_attention_rows_qkv(qkv, heads=H2, seq=N2, causal=causal)
+        o_ref = frm(reference_attention(q3, k3, v3, causal=causal))
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    g = jax.grad(lambda a: jnp.sum(
+        flash_attention_rows_qkv(a, heads=H2, seq=N2, causal=True) ** 2))(qkv)
+    g_ref = jax.grad(lambda a: jnp.sum(frm(reference_attention(
+        *(to4(a[:, i * HD:(i + 1) * HD]) for i in range(3)),
+        causal=True)) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
+
+    wl = jax.random.normal(jax.random.PRNGKey(12), (H2, H2), jnp.float32) * 0.2
+    ww = jax.random.normal(jax.random.PRNGKey(13), (H2, H2), jnp.float32) * 0.2
+    o_t = transform_attention_rows_qkv(qkv, wl, ww, heads=H2, seq=N2)
+    o_tref = frm(reference_attention(q3, k3, v3, head_transform=(wl, ww)))
+    np.testing.assert_allclose(np.asarray(o_t), np.asarray(o_tref),
+                               rtol=5e-3, atol=5e-3)
+    gt = jax.grad(lambda a, l, w: jnp.sum(transform_attention_rows_qkv(
+        a, l, w, heads=H2, seq=N2) ** 2), argnums=(0, 1, 2))(qkv, wl, ww)
+    gt_ref = jax.grad(lambda a, l, w: jnp.sum(frm(reference_attention(
+        *(to4(a[:, i * HD:(i + 1) * HD]) for i in range(3)),
+        head_transform=(l, w))) ** 2), argnums=(0, 1, 2))(qkv, wl, ww)
+    for name, a, e in zip(("dqkv", "dwl", "dww"), gt, gt_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(e),
+                                   rtol=5e-3, atol=5e-3, err_msg=name)

@@ -227,3 +227,44 @@ def test_tail_gating_pooled_rep_identical():
     np.testing.assert_allclose(
         np.asarray(v_lean.last_representation),
         np.asarray(v_full.last_representation), rtol=2e-5, atol=2e-5)
+
+
+def test_true_n_rows_matches_padded_towers():
+    """DISTILLCLIP_TRUE_N=1 (towers at the real token count, kernels pad at
+    their boundary) produces the same outputs and param grads as the default
+    tower-level padding, for both the plain ViT and the weight-share student."""
+    import os
+
+    imgs = jax.random.normal(KEY, (2, 16, 16, 3))
+    vit = VisionTransformer(input_resolution=16, patch_size=8, width=32,
+                            layers=2, heads=4, output_dim=8)  # N = 5 tokens
+    stu = RepeatVisionTransformer(img_size=16, patch_size=8, out_dim=8,
+                                  embed_dim=32, depth=2, num_heads=4,
+                                  repeated_times=2, use_transform=True)
+    flags = ControlFlags()
+
+    def run(model):
+        params = model.init(KEY, imgs, flags)
+        out = model.apply(params, imgs, flags).last_representation
+        g = jax.grad(lambda p: jnp.sum(
+            model.apply(p, imgs, flags).last_representation ** 2))(params)
+        return np.asarray(out), jax.tree.map(np.asarray, g)
+
+    old = os.environ.get("DISTILLCLIP_TRUE_N")
+    try:
+        os.environ["DISTILLCLIP_TRUE_N"] = "0"
+        base = {m.__class__.__name__: run(m) for m in (vit, stu)}
+        os.environ["DISTILLCLIP_TRUE_N"] = "1"
+        true_n = {m.__class__.__name__: run(m) for m in (vit, stu)}
+    finally:
+        (os.environ.pop("DISTILLCLIP_TRUE_N", None) if old is None
+         else os.environ.__setitem__("DISTILLCLIP_TRUE_N", old))
+
+    for name in base:
+        np.testing.assert_allclose(base[name][0], true_n[name][0],
+                                   rtol=1e-4, atol=1e-4, err_msg=name)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, rtol=1e-3, atol=1e-3, err_msg=name),
+            base[name][1], true_n[name][1],
+        )
