@@ -638,7 +638,7 @@ class RepeatVisionTransformer(nn.Module):
         # true-N rows: keep the tower at the real token count when padding
         # would add >5% rows (ViT-B/32: 50->64 = +28% on every dense); the
         # attention entries pad at the kernel boundary instead.
-        true_n = (rows_mode and Npad != N0 and true_n_rows_enabled()
+        true_n = (rows_mode and Npad != N0 and true_n_rows_enabled(B * N0)
                   and (Npad - N0) * 20 > N0)
         Nrun = N0 if true_n else Npad
         kv_len = N0 if (pad_ok and Nrun != N0) else None
@@ -773,7 +773,7 @@ class RepeatTextTransformer(nn.Module):
         # tower at the real token count when padding adds >5% rows
         B = x.shape[0]
         rows_mode = pad_ok and (deterministic or self.drop_path_rate == 0.0)
-        true_n = (rows_mode and Npad != N0 and true_n_rows_enabled()
+        true_n = (rows_mode and Npad != N0 and true_n_rows_enabled(B * N0)
                   and (Npad - N0) * 20 > N0)
         Nrun = N0 if true_n else Npad
         kv_len = N0 if (pad_ok and Nrun != N0) else None

@@ -118,7 +118,7 @@ class TextTransformer(nn.Module):
         # so text stays padded at the default threshold)
         B = x.shape[0]
         rows_mode = pad_ok and (deterministic or self.drop_prob == 0.0)
-        true_n = (rows_mode and Np != N and true_n_rows_enabled()
+        true_n = (rows_mode and Np != N and true_n_rows_enabled(B * N)
                   and (Np - N) * 20 > N)
         Nrun = N if true_n else Np
         kv_len = N if (pad_ok and Nrun != N) else None

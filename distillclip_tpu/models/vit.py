@@ -116,7 +116,7 @@ class VisionTransformer(nn.Module):
         # true-N rows: keep the tower at the real token count when padding
         # would add >5% rows (ViT-B/32 teacher: 50->64 = +28% on every
         # dense); the attention kernels pad at their boundary instead.
-        true_n = (rows_mode and Np != N and true_n_rows_enabled()
+        true_n = (rows_mode and Np != N and true_n_rows_enabled(B * N)
                   and (Np - N) * 20 > N)
         Nrun = N if true_n else Np
         kv_len = N if (pad_ok and Nrun != N) else None

@@ -72,17 +72,30 @@ def _interpret() -> bool:
         return True
 
 
-def true_n_rows_enabled() -> bool:
+def true_n_rows_enabled(rows: Optional[int] = None) -> bool:
     """2D rows mode at the TRUE sequence length.
 
-    With DISTILLCLIP_TRUE_N=1 the towers keep activations at [B*N0, C]
-    (N0 the real token count, e.g. 50 for ViT-B/32) instead of padding the
-    whole tower to a 16-multiple; the attention entry points pad/unpad at
-    the kernel boundary only.  At image shapes tower-level padding 50->64
-    adds 28% rows to EVERY dense/LN/MLP op — the per-layer qkv pad +
-    context unpad copies are the price (opt-in until the hardware A/B
-    lands; towers only switch when the pad overhead exceeds 5%)."""
-    return os.environ.get("DISTILLCLIP_TRUE_N", "0") == "1"
+    When enabled the towers keep activations at [B*N0, C] (N0 the real
+    token count, e.g. 50 for ViT-B/32) instead of padding the whole tower
+    to a 16-multiple; the attention entry points pad/unpad at the kernel
+    boundary only.  True-N trades ~21% fewer dense/LN/MLP FLOPs (at
+    ViT-B/32's 50->64 pad) for per-layer qkv-pad + context-unpad copies.
+
+    Measured (interleaved A/B, fenced, v5e-1, BENCH_NOTES round 3): the
+    trade WINS at small row counts and LOSES once the step goes
+    bandwidth-bound — stage-1 image B=256 (12,800 rows) 61.6 -> 57.6 ms,
+    joint B=256 92.0 -> 88.5 ms, but stage-1 image B=512 (25,600 rows)
+    121.1 -> 123.7 ms.  Default is therefore ``auto``: true-N only when
+    the tower's total true rows (B*N0) stay at or under
+    DISTILLCLIP_TRUE_N_MAX_ROWS (default 16384, between the measured win
+    and loss points).  DISTILLCLIP_TRUE_N=1/0 forces it on/off."""
+    mode = os.environ.get("DISTILLCLIP_TRUE_N", "auto")
+    if mode == "1":
+        return True
+    if mode == "auto" and rows is not None:
+        max_rows = int(os.environ.get("DISTILLCLIP_TRUE_N_MAX_ROWS", "16384"))
+        return rows <= max_rows
+    return False
 
 
 def _round_up(x: int, m: int) -> int:
