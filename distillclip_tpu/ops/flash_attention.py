@@ -533,28 +533,42 @@ def flash_attention_rows_qkv(
 
     import os
 
-    # Non-causal option: plain attention as the colcat transform kernel
-    # with identity head mixes.  vs the packed-rows kernel this halves the
-    # score/output MXU row-cycles (M=Np dots against a [HN,HD] expansion
-    # instead of M=hc*Np packed dots) and cuts the softmax element count
-    # hc-fold (the packed score matrix exp's its masked cross-head blocks
-    # too); it pays two [HN,HD] VPU mask-multiplies + repeats instead of
-    # the 3*h per-sample packing stores.  DISTILLCLIP_PLAIN_ATTN=packed
-    # opts back to the packed kernel.
-    if (
-        not causal
-        and heads >= 12
-        and not _interpret()
-        and os.environ.get("DISTILLCLIP_PLAIN_ATTN", "colcat") == "colcat"
-    ):
-        from distillclip_tpu.ops.transform_attention import (
-            transform_attention_rows_qkv,
+    # Non-causal options, cheapest first (DISTILLCLIP_PLAIN_ATTN selects:
+    # blockdiag | colcat | packed):
+    #
+    # * blockdiag (default where supported): per-head TRUE contractions
+    #   packed hc = 128/d heads per dot — hc-fold MAC inflation instead of
+    #   colcat's H-fold, with tiny per-chunk repeats instead of a full
+    #   [HN, HD] expansion (blockdiag_attention.py).
+    # * colcat: plain attention as the transform kernel with identity head
+    #   mixes — vs the packed-rows kernel this halves the score/output MXU
+    #   row-cycles and cuts the softmax element count hc-fold, but pays
+    #   H-inflated dots + two [HN,HD] VPU mask-multiplies.
+    # * packed: the original hc-sublane-packed rows kernel.
+    #
+    # Default stays colcat until the blockdiag hardware A/B lands (tunnel
+    # outage at authoring time; measurement discipline per BENCH_NOTES).
+    mode = os.environ.get("DISTILLCLIP_PLAIN_ATTN", "colcat")
+    if not causal and not _interpret():
+        from distillclip_tpu.ops.blockdiag_attention import (
+            blockdiag_attention_rows_qkv,
+            blockdiag_supported,
         )
 
-        eye = jnp.eye(heads, dtype=qkvf.dtype)
-        return transform_attention_rows_qkv(
-            qkvf, eye, eye, heads=heads, seq=seq, scale=scale, kv_len=kv_len,
-        )
+        if mode == "blockdiag" and blockdiag_supported(heads, d, causal):
+            return blockdiag_attention_rows_qkv(
+                qkvf, heads=heads, seq=seq, scale=scale, kv_len=kv_len,
+            )
+        if heads >= 12 and mode in ("colcat", "blockdiag"):
+            from distillclip_tpu.ops.transform_attention import (
+                transform_attention_rows_qkv,
+            )
+
+            eye = jnp.eye(heads, dtype=qkvf.dtype)
+            return transform_attention_rows_qkv(
+                qkvf, eye, eye, heads=heads, seq=seq, scale=scale,
+                kv_len=kv_len,
+            )
 
     def call(qkv):
         # block size from the (possibly per-shard) local batch

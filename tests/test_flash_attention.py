@@ -515,3 +515,42 @@ def test_rows_qkv_unaligned_seq():
     for name, a, e in zip(("dqkv", "dwl", "dww"), gt, gt_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(e),
                                    rtol=5e-3, atol=5e-3, err_msg=name)
+
+
+@pytest.mark.parametrize("h2,d2", [(4, 32), (4, 64)])
+def test_blockdiag_plain_attention(h2, d2):
+    """Block-diag plain attention (hc = 128/d heads per dot) matches the
+    reference in values AND grads, including kv_len key masking.
+
+    The dispatch in flash_attention_rows_qkv is hardware-only; this pins
+    the kernel math directly (interpret mode on CPU)."""
+    from distillclip_tpu.ops.blockdiag_attention import (
+        blockdiag_attention_rows_qkv,
+        blockdiag_supported,
+    )
+
+    assert blockdiag_supported(h2, d2, causal=False)
+    B2, N2 = 2, 32
+    HD = h2 * d2
+    qkvf = jax.random.normal(jax.random.PRNGKey(7),
+                             (B2 * N2, 3 * HD), jnp.float32) * 0.5
+    to4 = lambda t: t.reshape(B2, N2, h2, d2).transpose(0, 2, 1, 3)
+    frm = lambda t: t.transpose(0, 2, 1, 3).reshape(B2 * N2, HD)
+
+    for kv_len in (None, 20):
+        o = blockdiag_attention_rows_qkv(qkvf, heads=h2, seq=N2,
+                                         kv_len=kv_len)
+        o_ref = frm(reference_attention(
+            *(to4(qkvf[:, i * HD:(i + 1) * HD]) for i in range(3)),
+            kv_len=kv_len))
+        # in-kernel probs/operands are bf16 (as the towers feed them)
+        np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
+                                   rtol=2e-2, atol=2e-2)
+
+    g = jax.grad(lambda a: jnp.sum(jnp.sin(blockdiag_attention_rows_qkv(
+        a, heads=h2, seq=N2, kv_len=20).astype(jnp.float32))))(qkvf)
+    g_ref = jax.grad(lambda a: jnp.sum(jnp.sin(frm(reference_attention(
+        *(to4(a[:, i * HD:(i + 1) * HD]) for i in range(3)),
+        kv_len=20)).astype(jnp.float32))))(qkvf)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=3e-2, atol=3e-2)
