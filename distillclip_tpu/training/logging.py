@@ -71,7 +71,15 @@ class TensorBoardWriter:
             self._tb.add_scalar(k, v, step)
 
     def log_image(self, key: str, path: str, step: int):
-        pass
+        # reference logs heatmap figures to its logger (distil_model.py:180-185)
+        try:
+            import numpy as np
+            from PIL import Image
+
+            arr = np.asarray(Image.open(path).convert("RGB"))
+            self._tb.add_image(key, arr, step, dataformats="HWC")
+        except ImportError:
+            pass
 
     def close(self):
         self._tb.close()

@@ -146,6 +146,25 @@ def test_metric_logger_heatmap(tmp_path):
     logger.close()
 
 
+def test_tensorboard_writer_logs_heatmap_image(tmp_path):
+    """Rendered heatmap figures reach the TB event file as images (the
+    reference logs matplotlib figures to its logger, distil_model.py:180-185)."""
+    pytest.importorskip("tensorboardX")
+    pytest.importorskip("matplotlib")
+    from distillclip_tpu.training.logging import MetricLogger, TensorBoardWriter
+
+    logger = MetricLogger(str(tmp_path), "run", use_tensorboard=True)
+    assert any(isinstance(w, TensorBoardWriter) for w in logger.writers)
+    logger.log_heatmap("val/stu", np.random.default_rng(0).normal(size=(8, 8)), step=3)
+    logger.close()
+    tb_dir = os.path.join(logger.log_dir, "tb")
+    events = [f for f in os.listdir(tb_dir) if "tfevents" in f]
+    assert events
+    # the PNG itself was rendered and the event file grew past the header
+    assert any(f.endswith(".png") for f in os.listdir(logger.log_dir))
+    assert os.path.getsize(os.path.join(tb_dir, events[0])) > 200
+
+
 def test_coco_dataset_and_cached_caption_reps(tmp_path):
     """COCODataset items (images+tokens) and the stage-3 caption-rep cache
     path that feeds DualDistillTask's cached_text_teacher step."""
