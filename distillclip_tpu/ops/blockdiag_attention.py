@@ -54,17 +54,24 @@ def _interpret() -> bool:
 
 
 def blockdiag_supported(heads: int, d: int, causal: bool) -> bool:
-    """hc = 128//d heads per dot; need >= 2 packed heads for a saving."""
-    if causal or d <= 0 or 128 % d != 0:
+    """hc = 128//d heads per dot; need >= 2 packed heads for a saving.
+
+    Causal IS supported: the mask is one extra additive bias in the
+    forward and the backward needs nothing (masked probs are exactly 0,
+    so dS/dv contributions vanish through the saved-P products)."""
+    del causal
+    if d <= 0 or 128 % d != 0:
         return False
     hc = 128 // d
     return hc >= 2 and heads % hc == 0 and heads >= hc
 
 
-def _chunk_consts(hc: int, np_len: int, d: int, n: int, dtype):
+def _chunk_consts(hc: int, np_len: int, d: int, n: int, dtype,
+                  causal: bool = False):
     """Static per-chunk constants (identical for every chunk).
 
-    BMASK [hc*Np, 128] head-block indicator; kv pad bias [1, hc*Np];
+    BMASK [hc*Np, 128] head-block indicator; kv pad bias [1, hc*Np]
+    ([Np, hc*Np] when causal — j > i masked per head block);
     Dsm [hc*Np, hc] / Drow [hc, hc*Np] per-head-block one-hots for the
     softmax denominators (built as [X,1]x[1,Y] iota compares — full 2D
     iota pairs OOM the scoped-VMEM budget, see transform_attention.py).
@@ -75,6 +82,13 @@ def _chunk_consts(hc: int, np_len: int, d: int, n: int, dtype):
     bmask = (rg == cg).astype(dtype)
     jcol = jax.lax.broadcasted_iota(jnp.int32, (1, CH), 1) % np_len
     kv_bias = jnp.where(jcol < n, 0.0, NEG_INF).astype(jnp.float32)
+    if causal:
+        # row index IS the query position within the sequence (each grid
+        # sample's rows start at its own lo offset)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (np_len, CH), 0)
+        cj = jax.lax.broadcasted_iota(jnp.int32, (np_len, CH), 1) % np_len
+        kv_bias = kv_bias + jnp.where(cj <= ci, 0.0, NEG_INF).astype(
+            jnp.float32)
     r1 = jax.lax.broadcasted_iota(jnp.int32, (CH, hc), 0) // np_len
     c1 = jax.lax.broadcasted_iota(jnp.int32, (CH, hc), 1)
     dsm = (r1 == c1).astype(jnp.bfloat16)          # [(g,j), g'] for e-sums
@@ -90,12 +104,13 @@ def _chunk_consts(hc: int, np_len: int, d: int, n: int, dtype):
     return bmask, kv_bias, dsm, drow, lmasks
 
 
-def _bd_fwd_kernel(qkv_ref, o_ref, p_ref=None, *, scale, gb, h, np_len, n, d):
+def _bd_fwd_kernel(qkv_ref, o_ref, p_ref=None, *, scale, gb, h, np_len, n, d,
+                   causal=False):
     HD = h * d
     hc = 128 // d
     CH = hc * np_len
     bmask, kv_bias, dsm, drow, _ = _chunk_consts(hc, np_len, d, n,
-                                                 qkv_ref.dtype)
+                                                 qkv_ref.dtype, causal)
     for s in range(gb):
         lo = s * np_len
         for c in range(h // hc):
@@ -180,7 +195,7 @@ def _bd_bwd_kernel(qkv_ref, do_ref, p_ref, dqkv_ref,
                 diag_blocks(t2).astype(dqkv_ref.dtype))
 
 
-def _bd_fwd_call(qkv2, scale, gb, np_len, h, d, n, save_p):
+def _bd_fwd_call(qkv2, scale, gb, np_len, h, d, n, causal, save_p):
     rows_total, HD3 = qkv2.shape
     HD = HD3 // 3
     rows_blk = gb * np_len
@@ -191,7 +206,7 @@ def _bd_fwd_call(qkv2, scale, gb, np_len, h, d, n, save_p):
     p_blk = pl.BlockSpec((rows_blk, h * np_len), lambda i: (i, 0),
                          memory_space=pltpu.VMEM)
     body = functools.partial(_bd_fwd_kernel, scale=scale, gb=gb, h=h,
-                             np_len=np_len, n=n, d=d)
+                             np_len=np_len, n=n, d=d, causal=causal)
     if save_p:
         kern = lambda q, o, p: body(q, o, p)
         out_specs = (blk, p_blk)
@@ -234,18 +249,21 @@ def _bd_bwd_call(qkv2, do2, p2, scale, gb, np_len, h, d, n):
     )(qkv2, do2, p2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
-def _flash_bd(qkv2, scale, gb, np_len, h, d, n):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _flash_bd(qkv2, scale, gb, np_len, h, d, n, causal):
     # primal without grad: no P residual is written at all
-    return _bd_fwd_call(qkv2, scale, gb, np_len, h, d, n, save_p=False)
+    return _bd_fwd_call(qkv2, scale, gb, np_len, h, d, n, causal, save_p=False)
 
 
-def _flash_bd_fwd(qkv2, scale, gb, np_len, h, d, n):
-    o, p = _bd_fwd_call(qkv2, scale, gb, np_len, h, d, n, save_p=True)
+def _flash_bd_fwd(qkv2, scale, gb, np_len, h, d, n, causal):
+    o, p = _bd_fwd_call(qkv2, scale, gb, np_len, h, d, n, causal, save_p=True)
     return o, (qkv2, p)
 
 
-def _flash_bd_bwd(scale, gb, np_len, h, d, n, res, do):
+def _flash_bd_bwd(scale, gb, np_len, h, d, n, causal, res, do):
+    # masked probs are exactly 0 in the saved P, so the backward needs no
+    # causal/kv mask of its own (dS, dv contributions vanish with P)
+    del causal
     qkv2, p = res
     return (_bd_bwd_call(qkv2, do, p, scale, gb, np_len, h, d, n),)
 
@@ -267,9 +285,10 @@ def blockdiag_attention_rows_qkv(
     heads: int,
     seq: int,
     scale: Optional[float] = None,
+    causal: bool = False,
     kv_len: Optional[int] = None,
 ) -> Array:
-    """Non-causal plain attention on the fused rows-qkv operand.
+    """Plain (optionally causal) attention on the fused rows-qkv operand.
 
     Same contract as flash_attention_rows_qkv (qkvf [B*seq, 3*H*d], seq a
     16-multiple handled by the caller's pad boundary); dispatch there
@@ -284,7 +303,8 @@ def blockdiag_attention_rows_qkv(
 
     def call(qkv):
         gb = _pick_gb(qkv.shape[0] // seq, seq, HD)
-        return _flash_bd(qkv, float(scale), gb, seq, heads, d, valid)
+        return _flash_bd(qkv, float(scale), gb, seq, heads, d, valid,
+                         bool(causal))
 
     from distillclip_tpu.ops._shard import shard_rows_call
 

@@ -549,6 +549,23 @@ def flash_attention_rows_qkv(
     # Default stays colcat until the blockdiag hardware A/B lands (tunnel
     # outage at authoring time; measurement discipline per BENCH_NOTES).
     mode = os.environ.get("DISTILLCLIP_PLAIN_ATTN", "colcat")
+    # Causal towers (text students/teachers) have their own knob: the
+    # block-diag kernel supports causal via one extra additive bias (masked
+    # probs are exactly 0, so the save-P backward needs nothing), halving
+    # MXU row-cycles vs the packed kernel (M=Np dots instead of M=hc*Np).
+    # Default stays 'packed' until the hardware A/B lands.
+    causal_mode = os.environ.get("DISTILLCLIP_CAUSAL_ATTN", "packed")
+    if causal and causal_mode == "blockdiag" and not _interpret():
+        from distillclip_tpu.ops.blockdiag_attention import (
+            blockdiag_attention_rows_qkv,
+            blockdiag_supported,
+        )
+
+        if blockdiag_supported(heads, d, causal):
+            return blockdiag_attention_rows_qkv(
+                qkvf, heads=heads, seq=seq, scale=scale, causal=True,
+                kv_len=kv_len,
+            )
     if not causal and not _interpret():
         from distillclip_tpu.ops.blockdiag_attention import (
             blockdiag_attention_rows_qkv,

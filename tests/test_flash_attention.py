@@ -283,9 +283,18 @@ def test_sharded_kernel_grads():
         def loss_fc1(x, w, b):
             return jnp.sum(dense_act(x, w, b, "gelu_exact").astype(jnp.float32) ** 2)
 
+        from distillclip_tpu.ops.blockdiag_attention import blockdiag_attention_rows_qkv
+
+        qkvf = jnp.asarray(rng.normal(size=(rows, 3 * 128)).astype(np.float32) * 0.3)
+
+        def loss_bd(qkvf):
+            o = blockdiag_attention_rows_qkv(qkvf, heads=4, seq=16)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
         for loss, args, shardings in (
             (loss_tf, (q, wl, ww), (sh, None, None)),
             (loss_fc1, (x, w, b), (sh, None, None)),
+            (loss_bd, (qkvf,), (sh,)),
         ):
             g = jax.grad(loss, argnums=tuple(range(len(args))))
             comp = jax.jit(g, in_shardings=shardings).lower(
@@ -517,10 +526,12 @@ def test_rows_qkv_unaligned_seq():
                                    rtol=5e-3, atol=5e-3, err_msg=name)
 
 
-@pytest.mark.parametrize("h2,d2", [(4, 32), (4, 64)])
-def test_blockdiag_plain_attention(h2, d2):
+@pytest.mark.parametrize("h2,d2,causal", [(4, 32, False), (4, 64, False),
+                                          (4, 64, True), (8, 64, True)])
+def test_blockdiag_plain_attention(h2, d2, causal):
     """Block-diag plain attention (hc = 128/d heads per dot) matches the
-    reference in values AND grads, including kv_len key masking.
+    reference in values AND grads, including kv_len key masking and the
+    causal mask (text towers, weight_share_model.py:469-471).
 
     The dispatch in flash_attention_rows_qkv is hardware-only; this pins
     the kernel math directly (interpret mode on CPU)."""
@@ -529,7 +540,7 @@ def test_blockdiag_plain_attention(h2, d2):
         blockdiag_supported,
     )
 
-    assert blockdiag_supported(h2, d2, causal=False)
+    assert blockdiag_supported(h2, d2, causal=causal)
     B2, N2 = 2, 32
     HD = h2 * d2
     qkvf = jax.random.normal(jax.random.PRNGKey(7),
@@ -539,18 +550,18 @@ def test_blockdiag_plain_attention(h2, d2):
 
     for kv_len in (None, 20):
         o = blockdiag_attention_rows_qkv(qkvf, heads=h2, seq=N2,
-                                         kv_len=kv_len)
+                                         causal=causal, kv_len=kv_len)
         o_ref = frm(reference_attention(
             *(to4(qkvf[:, i * HD:(i + 1) * HD]) for i in range(3)),
-            kv_len=kv_len))
+            causal=causal, kv_len=kv_len))
         # in-kernel probs/operands are bf16 (as the towers feed them)
         np.testing.assert_allclose(np.asarray(o), np.asarray(o_ref),
                                    rtol=2e-2, atol=2e-2)
 
     g = jax.grad(lambda a: jnp.sum(jnp.sin(blockdiag_attention_rows_qkv(
-        a, heads=h2, seq=N2, kv_len=20).astype(jnp.float32))))(qkvf)
+        a, heads=h2, seq=N2, causal=causal, kv_len=20).astype(jnp.float32))))(qkvf)
     g_ref = jax.grad(lambda a: jnp.sum(jnp.sin(frm(reference_attention(
         *(to4(a[:, i * HD:(i + 1) * HD]) for i in range(3)),
-        kv_len=20)).astype(jnp.float32))))(qkvf)
+        causal=causal, kv_len=20)).astype(jnp.float32))))(qkvf)
     np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
                                rtol=3e-2, atol=3e-2)
