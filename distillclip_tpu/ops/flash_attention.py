@@ -546,9 +546,10 @@ def flash_attention_rows_qkv(
     #   H-inflated dots + two [HN,HD] VPU mask-multiplies.
     # * packed: the original hc-sublane-packed rows kernel.
     #
-    # Default stays colcat until the blockdiag hardware A/B lands (tunnel
-    # outage at authoring time; measurement discipline per BENCH_NOTES).
-    mode = os.environ.get("DISTILLCLIP_PLAIN_ATTN", "colcat")
+    # Hardware A/B (fenced, v5e-1, BENCH_NOTES round 3b): micro 12L teacher
+    # fwd 2.07 ms/layer blockdiag vs 2.55 colcat vs 2.73 packed; joint cached
+    # E2E interleaved 85.97/86.17 ms blockdiag vs 88.42/88.16 colcat.
+    mode = os.environ.get("DISTILLCLIP_PLAIN_ATTN", "blockdiag")
     # Causal towers (text students/teachers) have their own knob: the
     # block-diag kernel supports causal via one extra additive bias (masked
     # probs are exactly 0, so the save-P backward needs nothing), halving
