@@ -113,7 +113,12 @@ def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
     rng = jax.random.PRNGKey(0)
     global_batch = batch * n_chips
 
-    images = np.random.default_rng(0).normal(size=(global_batch, img_size, img_size, 3)).astype(np.float32)
+    # uint8 images: the production input path (native JPEG decode emits raw
+    # uint8; prep_inputs normalizes on device, train_state.py:140-157).
+    # Feeding f32 here cost a measured 0.35 ms/step of pure convert on the
+    # joint trace (convert.541, round 3b) and understates the real pipeline.
+    images = np.random.default_rng(0).integers(
+        0, 256, size=(global_batch, img_size, img_size, 3)).astype(np.uint8)
     tokens = np.random.default_rng(1).integers(1, 49407, size=(global_batch, 77)).astype(np.int32)
     tokens[:, -1] = 49407
 

@@ -740,16 +740,19 @@ class RepeatTextTransformer(nn.Module):
         self, tokens: Array, flags: ControlFlags, deterministic: bool = True
     ) -> TextOutput:
         assert self.depth % self.repeated_times == 0
+        pos_embed = self.param(
+            "pos_embed", trunc_normal_02, (self.context_length, self.embed_dim), jnp.float32
+        )
+        # pos_embed's (possibly step-cast) dtype is the tower compute
+        # dtype; vocab tables skip the full-table step cast and the
+        # gathered rows cast here instead (see text.TokenEmbedding)
         x = TokenEmbedding(
             vocab_size=self.vocab_size,
             width=self.embed_dim,
             compression=self.compression_embedding,
             compression_dim=self.embedding_compression_dim,
             name="patch_embed",
-        )(tokens)
-        pos_embed = self.param(
-            "pos_embed", trunc_normal_02, (self.context_length, self.embed_dim), jnp.float32
-        )
+        )(tokens, dtype=pos_embed.dtype)
         x = x + pos_embed.astype(x.dtype)
         embedding = x if flags.need_emb else None
         if self.drop_rate > 0.0 and not deterministic:

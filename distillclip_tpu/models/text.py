@@ -43,7 +43,17 @@ class TokenEmbedding(nn.Module):
     compression_dim: int = 256
 
     @nn.compact
-    def __call__(self, tokens: Array) -> Array:
+    def __call__(self, tokens: Array, dtype=None) -> Array:
+        """``dtype``: compute dtype for the gathered rows.
+
+        Vocab-size tables are exempted from the step-boundary
+        ``cast_to_compute`` (train_state.py) — casting the full
+        [49408, width] table and converting its dense scatter-grad back
+        cost a measured 0.46 ms/step on the joint trace (round 3b).
+        Gathering f32 rows and casting them here is bit-identical
+        (bf16(f32 row) == row of the bf16-cast table) but touches only
+        the looked-up rows.
+        """
         if self.compression:
             emb = nn.Embed(
                 self.vocab_size,
@@ -52,14 +62,19 @@ class TokenEmbedding(nn.Module):
                 embedding_init=nn.initializers.normal(stddev=0.02),
                 name="embed",
             )(tokens)
+            if dtype is not None and emb.dtype != dtype:
+                emb = emb.astype(dtype)
             return Dense(self.width, name="expand")(emb)
-        return nn.Embed(
+        emb = nn.Embed(
             self.vocab_size,
             self.width,
             param_dtype=jnp.float32,
             embedding_init=nn.initializers.normal(stddev=0.02),
             name="embed",
         )(tokens)
+        if dtype is not None and emb.dtype != dtype:
+            emb = emb.astype(dtype)
+        return emb
 
 
 class TextTransformer(nn.Module):
@@ -86,19 +101,22 @@ class TextTransformer(nn.Module):
     def __call__(
         self, tokens: Array, flags: ControlFlags, deterministic: bool = True
     ) -> TextOutput:
-        emb = TokenEmbedding(
-            vocab_size=self.vocab_size,
-            width=self.width,
-            compression=self.compression_embedding,
-            compression_dim=self.embedding_compression_dim,
-            name="token_embedding",
-        )(tokens)
         positional_embedding = self.param(
             "positional_embedding",
             nn.initializers.normal(stddev=0.01),
             (self.context_length, self.width),
             jnp.float32,
         )
+        # the positional embedding's (possibly step-cast) dtype IS the
+        # tower compute dtype; gathered vocab rows cast to it (see
+        # TokenEmbedding — vocab tables skip the full-table step cast)
+        emb = TokenEmbedding(
+            vocab_size=self.vocab_size,
+            width=self.width,
+            compression=self.compression_embedding,
+            compression_dim=self.embedding_compression_dim,
+            name="token_embedding",
+        )(tokens, dtype=positional_embedding.dtype)
         x = emb + positional_embedding.astype(emb.dtype)
         embedding = x if flags.need_emb else None
 

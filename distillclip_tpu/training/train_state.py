@@ -156,6 +156,16 @@ def prepare_inputs(inputs: Array, dtype) -> Array:
     return inputs
 
 
+# Vocab-size embedding tables are exempt from the step-boundary cast:
+# TokenEmbedding gathers f32 rows and casts them to the compute dtype
+# instead (bit-identical to gathering from a bf16-cast table).  Casting the
+# full [49408, 768] table forward and converting its dense scatter-grad
+# back to f32 cost a measured 0.46 ms/step on the joint trace (round 3b).
+# 16384 rows is far above every non-vocab 2D param (largest: patch_kernel
+# [3072, 768]) and far below the CLIP vocab (49408).
+EMBED_CAST_SKIP_ROWS = 16384
+
+
 def cast_to_compute(params: Params, dtype=jnp.bfloat16) -> Params:
     """Cast fp32 params to the compute dtype for the forward pass.
 
@@ -165,6 +175,10 @@ def cast_to_compute(params: Params, dtype=jnp.bfloat16) -> Params:
     """
 
     def cast(x):
-        return x.astype(dtype) if x.dtype == jnp.float32 else x
+        if x.dtype != jnp.float32:
+            return x
+        if x.ndim == 2 and x.shape[0] >= EMBED_CAST_SKIP_ROWS:
+            return x  # vocab embedding table: rows cast after the gather
+        return x.astype(dtype)
 
     return jax.tree_util.tree_map(cast, params)
