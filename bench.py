@@ -33,11 +33,109 @@ is the driver-set north star of 8,000 pairs/sec/chip.
 import argparse
 import json
 import os
+import subprocess
 import sys
 import time
 
 
 NORTH_STAR_PAIRS_PER_SEC = 8000.0
+
+# committed machine-readable record of successful hardware bench runs; the
+# newest entry doubles as the "last good" fallback when the axon tunnel is
+# down at bench time (VERDICT r3 item 1)
+HISTORY_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_HISTORY.jsonl")
+
+
+def _history_path():
+    return os.environ.get("DISTILLCLIP_BENCH_HISTORY", HISTORY_PATH)
+
+
+def probe_backend(timeout_s):
+    """One subprocess probe: True iff a fenced matmul completes in time.
+
+    The probe must live in a subprocess: a wedged axon tunnel hangs INSIDE
+    PJRT init holding the GIL (observed Aug 17), so no in-process thread
+    can time it out.  DISTILLCLIP_BENCH_PROBE_CMD overrides the probe
+    command (tests simulate outages with `false`).
+    """
+    cmd = os.environ.get("DISTILLCLIP_BENCH_PROBE_CMD")
+    if cmd:
+        argv = ["/bin/sh", "-c", cmd]
+    else:
+        argv = [sys.executable, "-c",
+                "import numpy as np, jax, jax.numpy as jnp;"
+                "x = jnp.ones((8, 8));"
+                "np.asarray(x @ x)"]  # host readback = the only real fence
+    try:
+        subprocess.run(argv, timeout=timeout_s, check=True,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        return True
+    except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+        return False
+
+
+def wait_for_backend(probe_s, retry_s, interval_s=30.0, probe=None,
+                     sleep=time.sleep, clock=time.monotonic):
+    """Probe until the backend answers or the retry budget runs out.
+
+    Tunnel outages are a known, recurring condition (BENCH_NOTES documents a
+    4h+ one); a single-shot probe recorded round 3's throughput as 0.0
+    (BENCH_r03.json).  Returns the number of probes made on success, 0 on
+    exhaustion.  `probe`/`sleep`/`clock` are injectable for tests.
+    """
+    probe = probe or probe_backend
+    deadline = clock() + retry_s
+    attempts = 0
+    while True:
+        attempts += 1
+        t0 = clock()
+        if probe(probe_s):
+            return attempts
+        now = clock()
+        print(f"bench: backend probe {attempts} failed "
+              f"({now - t0:.0f}s); {max(0.0, deadline - now):.0f}s of retry "
+              "budget left", file=sys.stderr)
+        if now >= deadline:
+            return 0
+        sleep(min(interval_s, max(0.0, deadline - now)))
+
+
+def last_good_history(path=None):
+    """Newest history entry with a nonzero headline value, or None."""
+    path = path or _history_path()
+    try:
+        with open(path) as f:
+            lines = f.readlines()
+    except OSError:
+        return None
+    for line in reversed(lines):
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            entry = json.loads(line)
+        except ValueError:
+            continue
+        if entry.get("value", 0) > 0:
+            return entry
+    return None
+
+
+def append_history(result, path=None):
+    """Record a successful hardware run (timestamped + git-stamped)."""
+    path = path or _history_path()
+    entry = dict(result)
+    entry["ts"] = time.strftime("%Y-%m-%dT%H:%M:%S%z")
+    try:
+        entry["git"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10).stdout.strip()
+    except Exception:
+        pass
+    with open(path, "a") as f:
+        f.write(json.dumps(entry) + "\n")
 
 
 def _fabricated_vit_b32(path: str):
@@ -336,6 +434,37 @@ def main():
     if args.quick:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
 
+    if not args.quick:
+        # Backend watchdog with a bounded RETRY loop: the axon tunnel can
+        # wedge (connects but never answers), and outages lasting hours are
+        # a known recurring condition — a one-shot probe recorded round 3's
+        # official throughput as 0.0 (BENCH_r03.json).  Keep probing for up
+        # to DISTILLCLIP_BENCH_RETRY_S before giving up, and on final
+        # failure surface the newest committed measurement from
+        # BENCH_HISTORY.jsonl in detail (marked stale; value stays 0.0 so
+        # the driver can't mistake it for a fresh number).
+        probe_s = float(os.environ.get("DISTILLCLIP_BENCH_PROBE_S", "120"))
+        retry_s = float(os.environ.get("DISTILLCLIP_BENCH_RETRY_S", "1800"))
+        attempts = wait_for_backend(probe_s, retry_s)
+        if not attempts:
+            detail = {
+                "error": f"backend unreachable after {retry_s:.0f}s retry "
+                         "budget (per-probe timeout "
+                         f"{probe_s:.0f}s)",
+                "stale": True,
+            }
+            last = last_good_history()
+            if last is not None:
+                detail["last_good"] = last
+            print(json.dumps({
+                "metric": METRIC_NAMES.get("l_clip", "pairs/s/chip"),
+                "value": 0.0,
+                "unit": "pairs/s/chip",
+                "vs_baseline": 0.0,
+                "detail": detail,
+            }))
+            sys.exit(2)
+
     import jax
 
     from distillclip_tpu.runtime import setup_cache
@@ -346,34 +475,6 @@ def main():
             jax.config.update("jax_platforms", "cpu")
         except Exception:
             pass
-
-    if not args.quick:
-        # backend watchdog: the axon tunnel can wedge (connects but never
-        # answers — observed Aug 17: trivial matmuls hang forever, HOLDING
-        # THE GIL inside PJRT init, so an in-process thread can't time it
-        # out).  Probe in a subprocess so a dead backend yields a recorded
-        # error line instead of an eternally-hung bench run.
-        import subprocess
-
-        probe_s = float(os.environ.get("DISTILLCLIP_BENCH_PROBE_S", "420"))
-        try:
-            subprocess.run(
-                [sys.executable, "-c",
-                 "import numpy as np, jax, jax.numpy as jnp;"
-                 "x = jnp.ones((8, 8));"
-                 "np.asarray(x @ x)"],  # host readback = the only real fence
-                timeout=probe_s, check=True,
-                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-            )
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError) as exc:
-            print(json.dumps({
-                "metric": METRIC_NAMES.get("l_clip", "pairs/s/chip"),
-                "value": 0.0,
-                "unit": "pairs/s/chip",
-                "vs_baseline": 0.0,
-                "detail": {"error": f"backend unreachable ({type(exc).__name__})"},
-            }))
-            sys.exit(2)
 
     if args.serve:
         serving = run_serve(quick=args.quick)
@@ -422,13 +523,19 @@ def main():
         except Exception as e:
             detail["serving"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
-    print(json.dumps({
+    result = {
         "metric": METRIC_NAMES[primary_stage],
         "value": value,
         "unit": "pairs/s/chip",
         "vs_baseline": round(value / NORTH_STAR_PAIRS_PER_SEC, 4),
         "detail": detail,
-    }))
+    }
+    print(json.dumps(result))
+    if not args.quick and value > 0:
+        try:
+            append_history(result)
+        except Exception as e:  # history is best-effort, never sinks a run
+            print(f"bench: history append failed: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":
