@@ -41,10 +41,18 @@ def _build(cfg, seed):
 
 
 def cmd_fit(args) -> int:
-    from distillclip_tpu.config import load_configs, save_resolved_config
+    from distillclip_tpu.config import (
+        apply_perf_config,
+        load_configs,
+        save_resolved_config,
+    )
 
     _seed_everything(args.seed)
     cfg = load_configs(args.config)
+    # perf knobs: YAML -> DISTILLCLIP_* env (env overrides YAML); the
+    # snapshot records the EFFECTIVE values so it fully determines the
+    # compiled step (the ops read the environment at trace time)
+    cfg["perf"] = apply_perf_config(cfg.get("perf"))
     task, datamodule, trainer = _build(cfg, args.seed)
     os.makedirs(f"{trainer.result_dir}/{trainer.run_name}", exist_ok=True)
     save_resolved_config(cfg, f"{trainer.result_dir}/{trainer.run_name}/config.yaml")
@@ -54,11 +62,12 @@ def cmd_fit(args) -> int:
 
 
 def cmd_validate(args) -> int:
-    from distillclip_tpu.config import load_configs
+    from distillclip_tpu.config import apply_perf_config, load_configs
     from distillclip_tpu.training.checkpoints import restore_pytree
 
     _seed_everything(args.seed)
     cfg = load_configs(args.config)
+    cfg["perf"] = apply_perf_config(cfg.get("perf"))
     task, datamodule, trainer = _build(cfg, args.seed)
 
     import jax
@@ -80,6 +89,27 @@ def cmd_validate(args) -> int:
     metrics = trainer.validate(task, datamodule, state)
     print(json.dumps(metrics, indent=2))
     return 0
+
+
+def cmd_lr_find(args) -> int:
+    """LR range test (Lightning auto_lr_find, sh/gene_template.py:104)."""
+    from distillclip_tpu.config import apply_perf_config, load_configs
+    from distillclip_tpu.tools.lr_finder import lr_find
+
+    _seed_everything(args.seed)
+    cfg = load_configs(args.config)
+    cfg["perf"] = apply_perf_config(cfg.get("perf"))
+    task, datamodule, _trainer = _build(cfg, args.seed)
+    result = lr_find(
+        task, datamodule, min_lr=args.min_lr, max_lr=args.max_lr,
+        num_steps=args.steps, seed=args.seed,
+    )
+    print(json.dumps({
+        "suggested_lr": result["suggestion"],
+        "diverged_at": result["diverged_at"],
+        "steps_run": len(result["lrs"]),
+    }))
+    return 0 if result["suggestion"] is not None else 1
 
 
 def cmd_score(args) -> int:
@@ -126,6 +156,12 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_fit.set_defaults(fn=cmd_fit)
     p_val = sub.add_parser("validate", parents=[common], help="run validation only")
     p_val.set_defaults(fn=cmd_validate)
+    p_lr = sub.add_parser("lr_find", parents=[common],
+                          help="LR range test (Lightning auto_lr_find)")
+    p_lr.add_argument("--min-lr", type=float, default=1e-7)
+    p_lr.add_argument("--max-lr", type=float, default=1.0)
+    p_lr.add_argument("--steps", type=int, default=100)
+    p_lr.set_defaults(fn=cmd_lr_find)
     p_score = sub.add_parser("score", parents=[common], help="L-CLIPScore inference")
     p_score.add_argument("--image-ckpt", required=False)
     p_score.add_argument("--text-ckpt", required=False)
@@ -137,7 +173,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_score.set_defaults(fn=cmd_score)
 
     args = parser.parse_args(argv)
-    if args.command in ("fit", "validate") and not args.config:
+    if args.command in ("fit", "validate", "lr_find") and not args.config:
         parser.error(f"{args.command} requires at least one -c/--config")
     return args.fn(args)
 

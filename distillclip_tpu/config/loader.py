@@ -131,6 +131,7 @@ _TRAINER_KEYS = {
     "default_root_dir": "result_dir",
     "profiler": "profiler",
     "save_every_n_steps": "save_every_n_steps",
+    "accumulate_grad_batches": "accumulate_grad_batches",
 }
 
 

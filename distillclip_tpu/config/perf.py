@@ -1,0 +1,83 @@
+"""Perf knobs as config: the YAML ``perf:`` section.
+
+The compiled train step is steered by ``DISTILLCLIP_*`` environment
+variables (kernel on/off switches, dispatch modes, block sizes — see
+README "Performance knobs" and BENCH_NOTES.md for the measurements behind
+each default).  A run's performance configuration must be reproducible
+from its resolved-config snapshot (VERDICT r3 item 5), so configs may pin
+them:
+
+.. code-block:: yaml
+
+    perf:
+      flash: "1"
+      plain_attn: blockdiag
+      tf_bwd: xla
+
+``apply_perf_config`` writes each pinned knob to its env var (the ops
+read the environment at trace time) and returns the EFFECTIVE mapping —
+env vars already set in the process take precedence over YAML (env is
+override-only), and env-only knobs are folded in — which the CLI writes
+back into the resolved-config snapshot.  Knobs pinned nowhere follow the
+code-versioned defaults and are omitted.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+ENV_PREFIX = "DISTILLCLIP_"
+
+# every knob that changes the COMPILED step (kernel selection, dispatch
+# modes, block sizes).  Cache/logging knobs (JAX_CACHE, WANDB*) and bench
+# watchdog knobs are process config, not program config, and stay out of
+# the snapshot.
+PERF_KNOBS = (
+    "flash",            # master kernel switch (1 default; 0 = pure XLA)
+    "plain_attn",       # non-causal plain attention: blockdiag|colcat|packed
+    "causal_attn",      # causal attention kernel: packed|blockdiag
+    "flash_hc",         # packed-rows head-chunk override
+    "fc1",              # fused LN+fc1+act kernel: kernel|xla
+    "fc1_blk",          # fc1 row-block size
+    "fc1_ln",           # standalone fused-LN dispatch: kernel|xla
+    "fc1_res",          # fc1 residual fusion toggle
+    "tf_impl",          # transform-attention implementation select
+    "tf_bwd",           # transform backward: xla|kernel
+    "tf_bwd_gb",        # transform backward grid-block size
+    "tf_fa_gb",         # transform forward grid-block size
+    "tf_hc",            # transform head-chunk override
+    "tf_mix",           # head-mix formulation select
+    "tf_scores",        # scores-layout select
+    "tf_il",            # transform interleave toggle
+    "true_n",           # true-sequence-length (un-padded N) mode
+    "true_n_max_rows",  # true-N row ceiling
+)
+
+
+def apply_perf_config(perf_cfg: Optional[Dict]) -> Dict[str, str]:
+    """Apply a config ``perf:`` section; return the effective knob map."""
+    perf_cfg = dict(perf_cfg or {})
+    effective: Dict[str, str] = {}
+    for key, val in perf_cfg.items():
+        key = str(key).lower()
+        if key not in PERF_KNOBS:
+            raise ValueError(
+                f"unknown perf knob {key!r}; known: {', '.join(PERF_KNOBS)}"
+            )
+        env = ENV_PREFIX + key.upper()
+        if env in os.environ:
+            # env vars are override-only: a live override beats YAML, and
+            # the snapshot records what actually ran
+            effective[key] = os.environ[env]
+        else:
+            sval = str(val)
+            os.environ[env] = sval
+            effective[key] = sval
+    # env-only knobs (set outside any config) also land in the snapshot so
+    # it fully determines the compiled step
+    for key in PERF_KNOBS:
+        env = ENV_PREFIX + key.upper()
+        if key not in effective and env in os.environ:
+            effective[key] = os.environ[env]
+    return effective

@@ -46,6 +46,14 @@ def _caption_rep_cache(cache_dir, teacher_name):
     )
 
 
+def _image_rep_cache(cache_dir, teacher_name):
+    from pathlib import Path
+
+    return Path(cache_dir) / (
+        f'coco-image-reps-train2017-{teacher_name.replace("/", "-")}.npz'
+    )
+
+
 def prepare(prepare_args: dict) -> None:
     """Optional: pre-encode the train2017 FIRST captions with the frozen
     teacher text tower (``cache_caption_reps: true``).  Stage-3 captions
@@ -53,25 +61,43 @@ def prepare(prepare_args: dict) -> None:
     per-sample constants; with the cache the joint train step drops that
     tower entirely (DualDistillTask cached_text_teacher — valid for no-tap
     loss configs such as the shipped l_clip.yaml)."""
-    if not prepare_args.get("cache_caption_reps"):
+    if not (prepare_args.get("cache_caption_reps")
+            or prepare_args.get("cache_image_reps")):
         return
-    from distillclip_tpu.data.component.utils import encode_texts
-
     cache_dir = prepare_args.get("cache_dir", "./.cache")
     teacher_name = prepare_args["teacher_name"]
     os.makedirs(cache_dir, exist_ok=True)
-    cache = _caption_rep_cache(cache_dir, teacher_name)
-    if cache.exists() and not prepare_args.get("overwrite", False):
-        return
     ann = os.path.join(prepare_args["annotation_path"], "captions_train2017.json")
     index = load_coco_index(ann)
-    captions = [caps[0] for _, caps in index]
-    reps = encode_texts(
-        captions, teacher_name,
-        download_root=prepare_args.get("download_root"),
-        bpe_path=prepare_args.get("bpe_path"),
-    )
-    np.savez(cache, caption_rep=reps)
+
+    if prepare_args.get("cache_caption_reps"):
+        from distillclip_tpu.data.component.utils import encode_texts
+
+        cache = _caption_rep_cache(cache_dir, teacher_name)
+        if not cache.exists() or prepare_args.get("overwrite", False):
+            captions = [caps[0] for _, caps in index]
+            reps = encode_texts(
+                captions, teacher_name,
+                download_root=prepare_args.get("download_root"),
+                bpe_path=prepare_args.get("bpe_path"),
+            )
+            np.savez(cache, caption_rep=reps)
+
+    if prepare_args.get("cache_image_reps"):
+        # fully-cached teacher (FLOP lever): pre-encode the train images
+        # with the EVAL transform — only valid together with
+        # augment_train: false, which the dataset enforces
+        from distillclip_tpu.data.component.utils import encode_images
+
+        cache = _image_rep_cache(cache_dir, teacher_name)
+        if not cache.exists() or prepare_args.get("overwrite", False):
+            root = os.path.join(prepare_args["root_path"], "train2017")
+            paths = [os.path.join(root, fn) for fn, _ in index]
+            reps = encode_images(
+                paths, teacher_name,
+                download_root=prepare_args.get("download_root"),
+            )
+            np.savez(cache, image_rep=reps)
 
 
 class COCODataset(MapDataset):

@@ -161,8 +161,17 @@ class LossCalculator:
         tea_out: TowerOutput,
         vit_kd_variables=None,
         rng: Optional[Array] = None,
+        skip_vit_kd: bool = False,
     ) -> Tuple[Array, Dict[str, Array]]:
-        """Single-tower distillation losses (_loss.py:155-202)."""
+        """Single-tower distillation losses (_loss.py:155-202).
+
+        ``skip_vit_kd`` zeroes the vit_kd term (keeping the weighting
+        structure): the dual path passes it for the TEXT tower, whose token
+        grid is not square — ViTKD's generation head is an image-feature-map
+        loss (vit_kd.py conv head).  Documented deviation: the reference
+        applies one-tower losses symmetrically (_loss.py:118-153) and would
+        crash on text+vit_kd, a combination its configs never exercise.
+        """
         res: Dict[str, Array] = {}
         for name in self.loss_name:
             if name in IMAGE_TEXT_LOSS:
@@ -200,6 +209,9 @@ class LossCalculator:
                     tea_out.last_representation, stu_out.last_representation, tau=self.smd_tau
                 )
             elif name == "vit_kd":
+                if skip_vit_kd:
+                    res[name] = jnp.float32(0.0)
+                    continue
                 if vit_kd_variables is None or rng is None:
                     raise ValueError("vit_kd requires vit_kd_variables and rng")
                 pred_s, pred_t = self._vit_kd_inputs(stu_out, tea_out)
@@ -232,7 +244,8 @@ class LossCalculator:
             stu_out.visual_output, tea_out.visual_output, vit_kd_variables, rng_i
         )
         text_loss, text_res = self.one_tower(
-            stu_out.text_output, tea_out.text_output, vit_kd_variables, rng_t
+            stu_out.text_output, tea_out.text_output, vit_kd_variables, rng_t,
+            skip_vit_kd=True,  # image-feature-map loss; see one_tower doc
         )
         for k, v in image_res.items():
             res["image_" + k] = v

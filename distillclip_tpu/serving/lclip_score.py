@@ -131,8 +131,10 @@ class LCLIPScorer:
         txt_params = text_tower.init(
             rng, jnp.zeros((1, ctx), jnp.int32), ControlFlags()
         )["params"]
-        img_params = restore_tower_params(image_ckpt, img_params)
-        txt_params = restore_tower_params(text_ckpt, txt_params)
+        # tower= selects out of a stage-3 dual checkpoint; stage-1/2 single-
+        # tower checkpoints are unaffected (no such key inside)
+        img_params = restore_tower_params(image_ckpt, img_params, tower="image_tower")
+        txt_params = restore_tower_params(text_ckpt, txt_params, tower="text_tower")
         vocab = getattr(text_tower, "vocab_size", 49408)
         return cls(
             image_module=image_tower, image_vars={"params": img_params},

@@ -63,19 +63,24 @@ def restore_pytree(path: str, template: Optional[Any] = None) -> Any:
         return ckptr.restore(path, abstract)
 
 
-def restore_tower_params(ckpt_path: str, template: Any) -> Any:
-    """Restore one student tower from a stage-1/2 checkpoint.
+def restore_tower_params(ckpt_path: str, template: Any,
+                         tower: Optional[str] = None) -> Any:
+    """Restore one student tower from a stage checkpoint.
 
-    Accepts either a full stage checkpoint ({'params': {'student': ...}} or
-    {'student': ...}) or a bare tower tree; equivalent to the reference's
-    'student.'-prefix strip (dual_distill_model.py:27-33).
+    Accepts a trainer checkpoint ({'state': {'params': {'student': ...}}},
+    the format ``fit`` writes to ``checkpoints/last``), a bare stage tree
+    ({'params': {'student': ...}} or {'student': ...}), or a bare tower
+    tree; equivalent to the reference's 'student.'-prefix strip
+    (dual_distill_model.py:27-33).  ``tower`` selects one tower
+    ('image_tower'/'text_tower') out of a stage-3 dual checkpoint so
+    ``distillclip score`` can serve straight from the joint run's ckpt.
     """
     restored = restore_pytree(ckpt_path)
-    for key in ("params",):
+    for key in ("state", "params", "student"):
         if isinstance(restored, dict) and key in restored:
             restored = restored[key]
-    if isinstance(restored, dict) and "student" in restored:
-        restored = restored["student"]
+    if tower is not None and isinstance(restored, dict) and tower in restored:
+        restored = restored[tower]
 
     # validate against the template structure
     t_struct = jax.tree_util.tree_structure(template)

@@ -72,6 +72,9 @@ class DistillTask:
     compute_dtype: str = "bfloat16"
     grad_clip_norm: Optional[float] = None
     log_grad_norm: bool = False  # extra full-grad read per step; off like the reference
+    # Lightning trainer.accumulate_grad_batches (l_clip.yaml:58); optimizer
+    # updates fire every k micro-batches with the mean grad (optax.MultiSteps)
+    accumulate_grad_batches: int = 1
 
     def __post_init__(self):
         if self.model_type not in ("text", "image"):
@@ -205,15 +208,19 @@ class DistillTask:
     def make_optimizer(self, steps_per_epoch: int):
         """Cosine-warmup AdamW, schedule stepped per epoch
         (distil_model.py:160-169, main.py:15-21)."""
+        k = max(1, int(self.accumulate_grad_batches or 1))
+        # with accumulation the inner chain's count is optimizer UPDATES,
+        # of which there are steps_per_epoch // k per epoch
         schedule = per_epoch(
             hf_cosine_with_warmup(self.lr, self.warm_steps, self.total_steps),
-            steps_per_epoch,
+            max(1, steps_per_epoch // k),
         )
         self._lr_schedule = schedule  # the schedule the optimizer applies
         return make_optimizer(
             schedule,
             weight_decay=self.weight_decay,
             grad_clip_norm=self.grad_clip_norm,
+            accumulate_steps=k,
         )
 
     def trainable_mask(self, params, frozen_embed: bool):

@@ -77,6 +77,9 @@ class DualDistillTask:
     compute_dtype: str = "bfloat16"
     grad_clip_norm: Optional[float] = None
     log_grad_norm: bool = False  # extra full-grad read per step; off like the reference
+    # Lightning trainer.accumulate_grad_batches (l_clip.yaml:58); optimizer
+    # updates fire every k micro-batches with the mean grad (optax.MultiSteps)
+    accumulate_grad_batches: int = 1
 
     def __post_init__(self):
         self.student = CLIPModel(
@@ -190,14 +193,18 @@ class DualDistillTask:
         return sp
 
     def make_optimizer(self, steps_per_epoch: int):
+        k = max(1, int(self.accumulate_grad_batches or 1))
+        # with accumulation the inner chain's count is optimizer UPDATES,
+        # of which there are steps_per_epoch // k per epoch
         schedule = per_epoch(
             hf_cosine_with_warmup(self.lr, self.warm_steps, self.total_steps),
-            steps_per_epoch,
+            max(1, steps_per_epoch // k),
         )
         self._lr_schedule = schedule  # the schedule the optimizer applies
         return make_optimizer(
             schedule, weight_decay=self.weight_decay,
             grad_clip_norm=self.grad_clip_norm,
+            accumulate_steps=k,
         )
 
     def trainable_mask(self, params, frozen_embed: bool):
@@ -314,6 +321,84 @@ class DualDistillTask:
         )
         return loss, (parts, stu_out, tea_out)
 
+    # -- fully-cached teacher path (documented deviation, VERDICT r3 item 3)
+    #
+    # The teacher IMAGE tower is live in the reference only because stage-3
+    # train images are RandAugmented (reference data/component/ms_coco.py:
+    # 15-21).  With augmentation disabled the train pixels are fixed too,
+    # so BOTH frozen-teacher towers become per-sample constants and the
+    # whole 12-layer ViT-B/32 teacher drops out of the step — the dominant
+    # removable FLOP block (~39% of the live step's issued FLOPs at B=256).
+    # Enabled by `augment_train: false` + `cached_image_teacher_reps` in
+    # the COCO datamodule config; quality A/B vs the augmented baseline is
+    # recorded in BENCH_NOTES (round 4).
+
+    def loss_fn_cached_all(
+        self, params, tokens, images, tea_text_rep, tea_image_rep, rng,
+        deterministic,
+    ):
+        from distillclip_tpu.models import l2_normalize
+        from distillclip_tpu.models.outputs import CLIPOutput, TextOutput, VisionOutput
+        from distillclip_tpu.training.train_state import prepare_inputs
+
+        fwd_rng, kd_rng = jax.random.split(rng)
+        compute_params = cast_to_compute(params["student"], self._dtype)
+        rngs = None
+        if not deterministic:
+            d, p = jax.random.split(fwd_rng)
+            rngs = {"dropout": d, "droppath": p}
+        imgs = prepare_inputs(images, self._dtype)
+        stu_out = self.student.apply(
+            {"params": compute_params}, tokens, imgs, self.flags,
+            deterministic=deterministic, rngs=rngs,
+        )
+        text_rep = tea_text_rep.astype(self._dtype)
+        image_rep = tea_image_rep.astype(self._dtype)
+        # dummy [B,1,D] slices keep the pytree total; no-tap losses read
+        # only last_representation (same contract as loss_fn_cached_text)
+        tea_text = TextOutput(
+            last_representation=text_rep, last_layer_output=text_rep[:, None, :]
+        )
+        tea_vis = VisionOutput(
+            last_representation=image_rep, last_layer_output=image_rep[:, None, :]
+        )
+        logits = jnp.einsum(
+            "id,td->it", l2_normalize(image_rep), l2_normalize(text_rep),
+            preferred_element_type=jnp.float32,
+        )
+        tea_out = CLIPOutput(
+            visual_output=tea_vis, text_output=tea_text,
+            i2t_logits=logits, t2i_logits=logits.T,
+        )
+        tea_out = jax.lax.stop_gradient(tea_out)
+        if self.norm:
+            stu_out = norm_last_representation(stu_out)
+            tea_out = norm_last_representation(tea_out)
+        kd_vars = {"params": params["loss_aux"]} if self.loss_control.has_params else None
+        loss, parts = self.loss_control(
+            stu_out, tea_out, "all", vit_kd_variables=kd_vars, rng=kd_rng
+        )
+        return loss, (parts, stu_out, tea_out)
+
+    def make_teacher_image_encode(self, mesh: Mesh) -> Callable:
+        """Jitted teacher IMAGE encode for the fully-cached stage-3 path:
+        images (sharded over data) -> fp32 last representations.  Only
+        valid when train images are NOT augmented (fixed pixels)."""
+        repl = replicated(mesh)
+        data = batch_sharding(mesh)
+        teacher_vars = self.teacher_compute_vars
+
+        def encode(images):
+            from distillclip_tpu.training.train_state import prepare_inputs
+
+            out = self.teacher.apply(
+                teacher_vars, prepare_inputs(images, self._dtype),
+                ControlFlags(), deterministic=True, method="encode_image",
+            )
+            return out.last_representation.astype(jnp.float32)
+
+        return jax.jit(encode, in_shardings=(data,), out_shardings=repl)
+
     def make_teacher_text_encode(self, mesh: Mesh) -> Callable:
         """Jitted teacher TEXT encode for building stage-3 caption caches:
         tokens (sharded over data) -> fp32 last representations."""
@@ -332,7 +417,7 @@ class DualDistillTask:
 
     def make_train_step(
         self, mesh: Mesh, tx, deterministic: bool = True, trainable_mask=None,
-        cached_text_teacher: bool = False,
+        cached_text_teacher: bool = False, cached_teachers: bool = False,
     ) -> Callable:
         if trainable_mask is None:
             trainable_mask = getattr(self, "_mask", None)
@@ -340,6 +425,37 @@ class DualDistillTask:
             trainable_mask = None
         repl = replicated(mesh)
         data = batch_sharding(mesh)
+
+        if cached_teachers:
+            if self.flags.any_tap():
+                raise ValueError(
+                    "cached_teachers requires a loss config without teacher "
+                    f"taps (per-layer losses); got flags {self.flags}."
+                )
+
+            def step_all_cached(
+                state: TrainState, tokens, images, tea_text_rep,
+                tea_image_rep, rng,
+            ):
+                rng = jax.random.fold_in(rng, state.step)
+                (loss, (parts, _, _)), grads = jax.value_and_grad(
+                    self.loss_fn_cached_all, has_aux=True
+                )(
+                    state.params, tokens, images, tea_text_rep, tea_image_rep,
+                    rng, deterministic,
+                )
+                new_state = state.apply_gradients(grads, tx, trainable_mask)
+                metrics = {"loss": loss, **parts}
+                if self.log_grad_norm:
+                    metrics["grad_norm"] = optax.global_norm(grads)
+                return new_state, metrics
+
+            return jax.jit(
+                step_all_cached,
+                in_shardings=(repl, data, data, data, data, repl),
+                out_shardings=(repl, repl),
+                donate_argnums=(0,),
+            )
 
         if cached_text_teacher:
             if self.flags.any_tap():

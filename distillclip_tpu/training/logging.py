@@ -109,6 +109,19 @@ class WandbWriter:
                 self._run.define_metric(key, summary="max")
             except Exception:
                 pass  # older wandb without define_metric
+        self.log_code()
+
+    def log_code(self):
+        """Snapshot the framework source into the run
+        (reference distil_model.py:74 / dual_distill_model.py:96
+        ``logger.experiment.log_code()``)."""
+        try:
+            import distillclip_tpu
+
+            root = os.path.dirname(os.path.abspath(distillclip_tpu.__file__))
+            self._run.log_code(root=root)
+        except Exception:
+            pass  # code capture is best-effort (older wandb / no source dir)
 
     def log_hyperparams(self, params: Dict[str, Any]):
         self._run.config.update(

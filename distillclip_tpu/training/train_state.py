@@ -113,6 +113,7 @@ def make_optimizer(
     b2: float = 0.999,
     eps: float = 1e-8,
     grad_clip_norm: Optional[float] = None,
+    accumulate_steps: int = 1,
 ) -> optax.GradientTransformation:
     """AdamW matching torch defaults (distil_model.py:160-162).
 
@@ -121,6 +122,11 @@ def make_optimizer(
     Freezing is applied by :meth:`TrainState.apply_gradients` via a static
     mask — not ``optax.masked`` — so the jitted graph keeps one uniform
     structure (and trace-time constants for frozen leaves).
+
+    ``accumulate_steps > 1`` wraps the chain in :class:`optax.MultiSteps`
+    (mean of the micro-batch grads, one optimizer update every k steps) —
+    Lightning's ``accumulate_grad_batches``
+    (reference config/final_config/l_clip.yaml:58, set to 1 there).
     """
     chain = []
     if grad_clip_norm is not None:
@@ -129,7 +135,10 @@ def make_optimizer(
         optax.adamw(learning_rate=learning_rate, b1=b1, b2=b2, eps=eps,
                     weight_decay=weight_decay)
     )
-    return optax.chain(*chain)
+    tx = optax.chain(*chain)
+    if accumulate_steps and accumulate_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accumulate_steps))
+    return tx
 
 
 def count_params(params: Params) -> int:

@@ -114,6 +114,9 @@ class Trainer:
     limit_val_batches: Optional[int] = None
     profiler: Optional[str] = None  # None | 'simple' | 'trace'
     save_every_n_steps: Optional[int] = None  # preemption-safe autosave
+    # Lightning trainer.accumulate_grad_batches (l_clip.yaml:58): the task's
+    # optimizer is wrapped in optax.MultiSteps (one update per k micro-steps)
+    accumulate_grad_batches: Optional[int] = None
 
     def fit(self, task, datamodule, ckpt_path: Optional[str] = None) -> Dict[str, Any]:
         from distillclip_tpu.training.logging import NullLogger
@@ -160,6 +163,10 @@ class Trainer:
             schedule_provisional = False
 
         dual = hasattr(task, "image_student")
+        if self.accumulate_grad_batches and self.accumulate_grad_batches > 1:
+            # the optimizer lives in the task; the trainer knob (Lightning
+            # semantics) overrides before init_state builds it
+            task.accumulate_grad_batches = int(self.accumulate_grad_batches)
         rng = jax.random.PRNGKey(self.seed)
         # frozen teacher pre-cast to the compute dtype once (hot-path bytes)
         teacher_cv = getattr(task, "teacher_compute_vars", task.teacher_vars)
@@ -267,7 +274,10 @@ class Trainer:
             # task.make_optimizer); fall back to recomputing from the epoch
             sched = getattr(task, "_lr_schedule", None)
             if sched is not None:
-                return float(sched(step))
+                # the schedule counts optimizer UPDATES; state.step counts
+                # micro-steps (k micro-steps per update under accumulation)
+                k = max(1, int(getattr(task, "accumulate_grad_batches", 1) or 1))
+                return float(sched(step // k))
             return float(hf_cosine_with_warmup(task.lr, task.warm_steps, task.total_steps)(epoch))
 
         best = {}

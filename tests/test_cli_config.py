@@ -168,3 +168,39 @@ def test_autosave_every_n_steps(smoke_env):
     assert main(["fit", "-c", str(path)]) == 0
     autosave = smoke_env["root"] / "result" / "smoke-autosave" / "checkpoints" / "autosave"
     assert autosave.exists()
+
+
+@pytest.mark.quick
+def test_perf_config_reaches_dispatch(monkeypatch):
+    """A yaml-pinned perf knob must reach the ops' dispatch functions, the
+    resolved snapshot must record the EFFECTIVE values, and live env vars
+    must override YAML (VERDICT r3 item 5)."""
+    import yaml as _yaml
+
+    from distillclip_tpu.config import apply_perf_config
+    from distillclip_tpu.ops.flash_attention import (
+        flash_enabled,
+        true_n_rows_enabled,
+    )
+
+    for name in ("FLASH", "TRUE_N", "PLAIN_ATTN"):
+        monkeypatch.delenv(f"DISTILLCLIP_{name}", raising=False)
+
+    assert flash_enabled()  # default ON
+    eff = apply_perf_config({"flash": "0", "true_n": "1"})
+    assert eff["flash"] == "0" and eff["true_n"] == "1"
+    assert not flash_enabled()  # the knob reached the dispatch fn
+    assert true_n_rows_enabled(10**9)
+
+    # env override-only: a live env var beats YAML and the snapshot
+    # records what actually ran
+    monkeypatch.setenv("DISTILLCLIP_PLAIN_ATTN", "colcat")
+    eff = apply_perf_config({"plain_attn": "packed"})
+    assert eff["plain_attn"] == "colcat"
+    assert os.environ["DISTILLCLIP_PLAIN_ATTN"] == "colcat"
+
+    # snapshot round-trip
+    assert _yaml.safe_load(_yaml.safe_dump({"perf": eff}))["perf"] == eff
+
+    with pytest.raises(ValueError, match="unknown perf knob"):
+        apply_perf_config({"warp_speed": 9})

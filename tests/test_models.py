@@ -139,20 +139,80 @@ def test_repeat_text_bidirectional():
                            np.asarray(out2.last_layer_output[0, 0]), atol=1e-6)
 
 
-def test_rpe_runs_and_is_zero_at_init():
-    """Zero-init lookup tables => RPE is an exact no-op at initialization."""
-    base = RepeatVisionTransformer(img_size=16, patch_size=8, out_dim=8, embed_dim=32,
-                                   depth=2, num_heads=4, repeated_times=2)
-    with_rpe = RepeatVisionTransformer(img_size=16, patch_size=8, out_dim=8, embed_dim=32,
-                                       depth=2, num_heads=4, repeated_times=2,
-                                       rpe_config=RpeConfig(rpe_on="qkv"))
+@pytest.mark.quick
+def test_rpe_is_exact_noop_at_zero_init():
+    """Zero-init lookup tables (reference _irpe.py:463-492) => the RPE model
+    with the BASE model's shared weights grafted in produces the base
+    model's outputs exactly."""
+    from flax.traverse_util import flatten_dict, unflatten_dict
+
+    kw = dict(img_size=16, patch_size=8, out_dim=8, embed_dim=32,
+              depth=2, num_heads=4, repeated_times=2)
+    base = RepeatVisionTransformer(**kw)
+    with_rpe = RepeatVisionTransformer(rpe_config=RpeConfig(rpe_on="qkv"), **kw)
     imgs = jax.random.normal(KEY, (1, 16, 16, 3))
     p_rpe = with_rpe.init(KEY, imgs, ControlFlags())
-    p_base = base.init(KEY, imgs, ControlFlags())
-    # graft the shared weights into the rpe model's param tree
-    merged = jax.tree_util.tree_map_with_path(lambda kp, x: x, p_rpe)
-    out_rpe = with_rpe.apply(p_rpe, imgs, ControlFlags())
-    assert np.isfinite(np.asarray(out_rpe.last_representation)).all()
+    p_base = base.init(jax.random.PRNGKey(7), imgs, ControlFlags())
+
+    # graft: every shared (non-rpe) leaf comes from the BASE init (a
+    # DIFFERENT seed, so shared leaves provably differ from p_rpe's);
+    # rpe_* tables keep their zero init
+    flat_base = flatten_dict(p_base["params"])
+    flat_rpe = flatten_dict(p_rpe["params"])
+    assert set(flat_base) < set(flat_rpe)  # rpe adds params, shares the rest
+    merged = {k: flat_base.get(k, v) for k, v in flat_rpe.items()}
+    for k, v in merged.items():
+        if any(str(part).startswith("rpe_") for part in k):
+            assert not np.asarray(v).any(), f"rpe table {k} not zero-init"
+    merged = {"params": unflatten_dict(merged)}
+
+    out_rpe = with_rpe.apply(merged, imgs, ALL_FLAGS)
+    out_base = base.apply(p_base, imgs, ALL_FLAGS)
+    np.testing.assert_array_equal(
+        np.asarray(out_rpe.last_representation), np.asarray(out_base.last_representation))
+    np.testing.assert_array_equal(
+        np.asarray(out_rpe.attention_scores), np.asarray(out_base.attention_scores))
+
+
+@pytest.mark.quick
+def test_rpe_contextual_einsum_matches_bucket_gather():
+    """The one-hot MXU einsum gather == direct bucket-indexed computation
+    (reference semantics: _irpe.py:581-643 contextual forward)."""
+    from distillclip_tpu.models.irpe import (
+        RpeConfig, RpeParams, bucket_ids_2d, rpe_on_keys, rpe_on_values,
+    )
+
+    cfg = RpeConfig(rpe_on="kv", shared_head=False, skip=1)
+    B, H, d = 2, 3, 4
+    h_grid = w_grid = 3
+    L = cfg.skip + h_grid * w_grid
+    nb = cfg.num_buckets()
+    rng = np.random.default_rng(0)
+    k_table = rng.normal(size=(1, 1, H, d, nb)).astype(np.float32)
+    v_table = rng.normal(size=(1, 1, H, nb, d)).astype(np.float32)
+    params = RpeParams(config=cfg, seq_len=L, num_heads=H, head_dim=d,
+                       k_table=jnp.asarray(k_table), v_table=jnp.asarray(v_table))
+    ids, num = bucket_ids_2d("product", h_grid, w_grid, cfg.skip,
+                             cfg.alpha, cfg.beta, cfg.gamma)
+    assert num == nb and ids.shape == (L, L)
+
+    # rpe_on_keys: ret[b,h,i,j] = q[b,h,i] . W_k[h, :, bucket(i,j)]
+    q = rng.normal(size=(B, H, L, d)).astype(np.float32)
+    got = np.asarray(rpe_on_keys(params, 0, jnp.asarray(q)))
+    want = np.empty((B, H, L, L), np.float32)
+    for i in range(L):
+        for j in range(L):
+            want[:, :, i, j] = np.einsum("bhd,hd->bh", q[:, :, i], k_table[0, 0, :, :, ids[i, j]])
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+    # rpe_on_values: ret[b,h,i,:] = sum_j attn[b,h,i,j] * W_v[h, bucket(i,j), :]
+    attn = rng.normal(size=(B, H, L, L)).astype(np.float32)
+    got_v = np.asarray(rpe_on_values(params, 0, jnp.asarray(attn)))
+    want_v = np.zeros((B, H, L, d), np.float32)
+    for i in range(L):
+        for j in range(L):
+            want_v[:, :, i] += attn[:, :, i, j, None] * v_table[0, 0, :, ids[i, j], :]
+    np.testing.assert_allclose(got_v, want_v, rtol=2e-5, atol=2e-5)
 
 
 def test_student_projection_applied():

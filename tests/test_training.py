@@ -535,3 +535,152 @@ def test_dual_fine_grain_step(ckpt_path, mesh):
                           shard_batch(mesh, imgs), rng)
     assert np.isfinite(float(metrics["loss"]))
     assert "fine_grain" in metrics
+
+
+@pytest.mark.quick
+def test_accumulate_grad_batches_matches_mean_grad():
+    """accumulate_grad_batches=k (optax.MultiSteps wrap): no param change on
+    the first k-1 micro-steps, then one update equal to a single step on the
+    MEAN of the k micro-grads (Lightning semantics; the reference ships
+    accumulate_grad_batches: 1 in l_clip.yaml:58 but the trainer surface
+    supports >1)."""
+    from distillclip_tpu.training.train_state import TrainState, make_optimizer
+
+    params = {"w": jnp.ones((4, 4), jnp.float32), "b": jnp.zeros((4,), jnp.float32)}
+    g1 = {"w": jnp.full((4, 4), 0.5), "b": jnp.full((4,), -1.0)}
+    g2 = {"w": jnp.full((4, 4), -0.25), "b": jnp.full((4,), 3.0)}
+    mean_g = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1, g2)
+
+    tx_acc = make_optimizer(lambda _: 1e-2, weight_decay=1e-3, accumulate_steps=2)
+    st = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                    opt_state=tx_acc.init(params))
+    st = st.apply_gradients(g1, tx_acc)
+    np.testing.assert_array_equal(np.asarray(st.params["w"]), np.asarray(params["w"]))
+    st = st.apply_gradients(g2, tx_acc)
+
+    tx_ref = make_optimizer(lambda _: 1e-2, weight_decay=1e-3)
+    st_ref = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                        opt_state=tx_ref.init(params))
+    st_ref = st_ref.apply_gradients(mean_g, tx_ref)
+
+    np.testing.assert_allclose(
+        np.asarray(st.params["w"]), np.asarray(st_ref.params["w"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st.params["b"]), np.asarray(st_ref.params["b"]), rtol=1e-6)
+
+
+@pytest.mark.quick
+def test_accumulate_schedule_paced_in_updates(ckpt_path):
+    """The cosine schedule must advance per optimizer UPDATE: with k=2 and
+    10 loader steps/epoch, the epoch boundary sits at update 5."""
+    task = _text_task(ckpt_path, accumulate_grad_batches=2, warm_steps=0,
+                      total_steps=4, lr=1e-2)
+    task.make_optimizer(steps_per_epoch=10)
+    sched = task._lr_schedule
+    # epoch 0 covers updates 0..4, epoch 1 starts at update 5
+    assert float(sched(0)) == float(sched(4))
+    assert float(sched(5)) < float(sched(4))
+
+
+@pytest.mark.quick
+def test_lr_finder_suggestion_rule():
+    """suggest_from_history picks the lr at the steepest smoothed descent
+    (Lightning auto_lr_find rule; reference emits auto_lr_find templates,
+    sh/gene_template.py:104)."""
+    from distillclip_tpu.tools.lr_finder import (
+        exponential_sweep, suggest_from_history,
+    )
+
+    sched = exponential_sweep(1e-6, 1.0, 100)
+    assert float(sched(0)) == pytest.approx(1e-6)
+    assert float(sched(99)) == pytest.approx(1.0)
+    lrs = [float(sched(i)) for i in range(100)]
+    # flat -> steep descent (idx 40-60) -> blow-up
+    losses = [2.0] * 40 + [2.0 - 0.15 * i for i in range(20)] + [
+        5.0 + i for i in range(40)]
+    s = suggest_from_history(lrs, losses)
+    assert lrs[35] <= s <= lrs[75]  # inside/near the descent region
+
+
+def test_lr_find_runs_on_tiny_task(ckpt_path):
+    """End-to-end range test on the tiny text stage: records a monotone lr
+    sweep with finite losses and returns a suggestion (or flags
+    divergence)."""
+    from distillclip_tpu.tools.lr_finder import lr_find
+
+    task = _text_task(ckpt_path)
+
+    class _DM:
+        def prepare_data(self):
+            pass
+
+        def setup(self, stage):
+            pass
+
+        def train_dataloader(self):
+            rng = np.random.default_rng(0)
+            toks = rng.integers(1, VOCAB - 2, size=(64, CTX)).astype(np.int32)
+            toks[:, -1] = VOCAB - 1
+            return [{"inputs": toks[i * 8:(i + 1) * 8]} for i in range(8)]
+
+    res = lr_find(task, _DM(), min_lr=1e-5, max_lr=0.5, num_steps=16)
+    assert len(res["lrs"]) >= 8
+    assert res["lrs"] == sorted(res["lrs"])  # exponential sweep is monotone
+    assert all(np.isfinite(l) for l in res["losses"][:4])
+    assert res["suggestion"] is None or res["suggestion"] > 0
+
+
+def test_dual_fully_cached_teachers_matches_live(ckpt_path, mesh):
+    """Stage-3 FLOP lever: with augmentation off, BOTH frozen-teacher
+    towers' reps are per-sample constants; the fully-cached step must
+    reproduce the live two-tower loss (documented deviation — reference
+    keeps the image teacher live only because of RandAugment,
+    ms_coco.py:15-21)."""
+    img_student = RepeatVisionTransformer(
+        img_size=RES, patch_size=PATCH, out_dim=48, embed_dim=32, depth=2,
+        num_heads=4, repeated_times=2, qkv_bias=True,
+    )
+    txt_student = RepeatTextTransformer(
+        vocab_size=VOCAB, context_length=CTX, out_dim=48, embed_dim=32,
+        depth=2, num_heads=4, repeated_times=2,
+    )
+    task = DualDistillTask(
+        image_student=img_student, text_student=txt_student,
+        loss_control_para={"loss_name": ["out_l1", "out_cos", "cos_diff"],
+                           "loss_scale": {"cos_diff": 0.1}},
+        teacher_name=ckpt_path, lr=1e-3, warm_steps=1, total_steps=10,
+    )
+    rng = jax.random.PRNGKey(1)
+    imgs = jnp.asarray(np.random.default_rng(0).normal(size=(16, RES, RES, 3)), jnp.float32)
+    toks = jnp.asarray(np.random.default_rng(0).integers(1, VOCAB, size=(16, CTX)))
+    b_toks, b_imgs = shard_batch(mesh, toks), shard_batch(mesh, imgs)
+
+    text_rep = task.make_teacher_text_encode(mesh)(b_toks)
+    image_rep = task.make_teacher_image_encode(mesh)(b_imgs)
+    assert image_rep.shape == (16, 48)
+
+    state, tx = task.init_state(rng, toks[:1], imgs[:1], steps_per_epoch=2)
+    live = task.make_train_step(mesh, tx)
+    _, m_live = live(state, task.teacher_compute_vars, b_toks, b_imgs, rng)
+
+    state2, tx2 = task.init_state(rng, toks[:1], imgs[:1], steps_per_epoch=2)
+    cached = task.make_train_step(mesh, tx2, cached_teachers=True)
+    _, m_cached = cached(
+        state2, b_toks, b_imgs,
+        shard_batch(mesh, text_rep), shard_batch(mesh, image_rep), rng,
+    )
+    np.testing.assert_allclose(
+        float(m_live["loss"]), float(m_cached["loss"]), rtol=1e-2
+    )
+    np.testing.assert_allclose(
+        float(m_live["cos_diff"]), float(m_cached["cos_diff"]), rtol=2e-2, atol=1e-4
+    )
+
+    # tap configs must refuse the cached path
+    tap_task = DualDistillTask(
+        image_student=img_student, text_student=txt_student,
+        loss_control_para={"loss_name": ["attention_score_mse"]},
+        teacher_name=ckpt_path, lr=1e-3, warm_steps=1, total_steps=10,
+    )
+    with pytest.raises(ValueError, match="cached_teachers"):
+        tap_task.make_train_step(mesh, tx, cached_teachers=True)
