@@ -167,7 +167,7 @@ def _fabricated_teacher_quick(cache):
 
 
 def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
-              cached_teacher=False, trace_dir=None):
+              cached_teacher=False, all_cached=False, trace_dir=None):
     """Measure one stage's train step; returns a result dict."""
     import jax
     import jax.numpy as jnp
@@ -235,7 +235,15 @@ def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
         b_images = shard_batch(mesh, jnp.asarray(images))
         b_tokens = shard_batch(mesh, jnp.asarray(tokens))
         tea_cv = task.teacher_compute_vars
-        if cached_teacher:
+        if all_cached:
+            # FLOP lever (no-augment deviation, BASELINE.md north-star
+            # analysis): BOTH frozen-teacher towers pre-encoded, the whole
+            # teacher drops out of the step (DualDistillTask.cached_teachers)
+            b_treps = shard_batch(mesh, task.make_teacher_text_encode(mesh)(b_tokens))
+            b_ireps = shard_batch(mesh, task.make_teacher_image_encode(mesh)(b_images))
+            step_fn = task.make_train_step(mesh, tx, cached_teachers=True)
+            lower_args = (state, b_tokens, b_images, b_treps, b_ireps, rng)
+        elif cached_teacher:
             b_reps = shard_batch(mesh, task.make_teacher_text_encode(mesh)(b_tokens))
             step_fn = task.make_train_step(mesh, tx, cached_text_teacher=True)
             lower_args = (state, tea_cv, b_tokens, b_images, b_reps, rng)
@@ -306,7 +314,8 @@ def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
 
     return {
         "stage": stage,
-        "cached_teacher": cached_teacher,
+        "cached_teacher": cached_teacher or all_cached,
+        "all_cached": all_cached,
         "value": round(pairs_per_sec_per_chip, 2),
         "global_batch": global_batch,
         "chips": n_chips,
@@ -367,9 +376,15 @@ def run_serve(quick=False, buckets=(256, 1024), iters=10, warmup=2):
         tokenizer=None, image_size=img_size,
     )
 
+    import jax.numpy as jnp
+
     out = {}
     for b in buckets:
-        images = np.random.default_rng(0).normal(size=(b, img_size, img_size, 3)).astype(np.float32)
+        # uint8 requests: the production wire format (native JPEG decode
+        # emits raw uint8; the scorer normalizes on device) — 4x less
+        # host->device payload than fp32
+        images = np.random.default_rng(0).integers(
+            0, 256, size=(b, img_size, img_size, 3)).astype(np.uint8)
         tokens = np.random.default_rng(1).integers(1, 49407, size=(b, 77)).astype(np.int32)
         tokens[:, -1] = 49407
         for _ in range(warmup):
@@ -379,10 +394,37 @@ def run_serve(quick=False, buckets=(256, 1024), iters=10, warmup=2):
             scores = scorer.score_tokens(images, tokens)
         dt = time.perf_counter() - t0
         assert scores.shape == (b,)
+
+        # device-resident leg: inputs already on device, ONE fused dispatch
+        # + readback per call — the number a colocated serving host sees
+        # (through the axon tunnel, e2e above is dominated by host->device
+        # transfer of the request pixels, and even this leg carries one
+        # network round trip of fixed latency per call)
+        d_imgs, d_toks = jnp.asarray(images), jnp.asarray(tokens)
+        s = np.asarray(scorer._score_pairs(
+            scorer.image_vars, scorer.text_vars, d_imgs, d_toks))
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            s = np.asarray(scorer._score_pairs(
+                scorer.image_vars, scorer.text_vars, d_imgs, d_toks))
+        dt_dev = time.perf_counter() - t0
+        assert s.shape == (b,)
         out[f"bucket_{b}"] = {
             "pairs_per_s_per_chip": round(b * iters / dt, 2),
             "latency_ms": round(dt / iters * 1000, 2),
+            "device_resident_pairs_per_s": round(b * iters / dt_dev, 2),
+            "device_resident_latency_ms": round(dt_dev / iters * 1000, 2),
         }
+
+    # fixed per-call (dispatch/tunnel) latency cancels in the two-bucket
+    # marginal: the compute-only throughput a colocated host approaches
+    keys = sorted(out, key=lambda k: int(k.split("_")[1]))
+    if len(keys) >= 2:
+        b0, b1 = int(keys[0].split("_")[1]), int(keys[-1].split("_")[1])
+        t0_, t1_ = (out[keys[0]]["device_resident_latency_ms"],
+                    out[keys[-1]]["device_resident_latency_ms"])
+        if t1_ > t0_:
+            out["marginal_pairs_per_s"] = round((b1 - b0) / (t1_ - t0_) * 1000, 2)
     return out
 
 
@@ -397,6 +439,7 @@ METRIC_NAMES = {
 # fewer steps than the headline — they reuse the same compile cache
 EXTRA_STAGES = (
     ("l_clip_live", dict(stage="l_clip")),
+    ("l_clip_allcached", dict(stage="l_clip", all_cached=True)),
     ("text", dict(stage="text")),
     ("text_cached", dict(stage="text", cached_teacher=True)),
     ("image", dict(stage="image")),
@@ -518,6 +561,15 @@ def main():
             except Exception as e:  # sub-benches must never sink the headline
                 stages[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
         detail["stages"] = stages
+        detail["north_star"] = {
+            "target_pairs_per_s": NORTH_STAR_PAIRS_PER_SEC,
+            # the full feasibility analysis lives in BASELINE.md
+            # ("North-star feasibility"): the joint stage as configured is
+            # compute-infeasible at 8k on one v5e chip; stage-2 cached
+            # exceeds the target (see detail.stages.text_cached); the
+            # fully-cached joint variant is the documented FLOP lever
+            "analysis": "BASELINE.md: North-star feasibility",
+        }
         try:  # serving numbers ride along in the default run (VERDICT r2 #6)
             detail["serving"] = run_serve(quick=args.quick)
         except Exception as e:

@@ -112,6 +112,8 @@ class COCODataset(MapDataset):
         bpe_path: Optional[str] = None,
         rand_augment_ops: int = 4,
         cached_text_teacher_reps: bool = False,
+        cached_image_teacher_reps: bool = False,
+        augment_train: bool = True,
         cache_dir: str = "./.cache",
         teacher_name: str = "ViT-B/32",
     ):
@@ -130,10 +132,35 @@ class COCODataset(MapDataset):
         self.context_length = context_length
         self.transform = (
             train_image_transform(image_size, rand_augment_ops)
-            if train
+            if train and augment_train
             else eval_image_transform(image_size)
         )
         self.caption_rep = None
+        self.image_rep = None
+        if cached_image_teacher_reps and train:
+            # fully-cached teacher (documented deviation, BASELINE.md
+            # north-star analysis): valid only with fixed train pixels
+            if augment_train:
+                raise ValueError(
+                    "cached_image_teacher_reps requires augment_train: false "
+                    "— RandAugmented pixels change every epoch, so the "
+                    "teacher image reps are not per-sample constants "
+                    "(reference keeps the image teacher live for exactly "
+                    "this reason, ms_coco.py:15-21)"
+                )
+            cache = _image_rep_cache(cache_dir, teacher_name)
+            if not cache.exists():
+                raise FileNotFoundError(
+                    f"{cache} not found: run prepare with cache_image_reps="
+                    "true to pre-encode the train images"
+                )
+            self.image_rep = np.load(cache)["image_rep"]
+            if len(self.image_rep) != len(self.index):
+                raise ValueError(
+                    f"image-rep cache rows ({len(self.image_rep)}) != "
+                    f"dataset size ({len(self.index)}); re-run prepare with "
+                    "overwrite=true"
+                )
         if cached_text_teacher_reps and train:
             cache = _caption_rep_cache(cache_dir, teacher_name)
             if not cache.exists():
@@ -166,4 +193,6 @@ class COCODataset(MapDataset):
         item = {"images": image, "tokens": tokens}
         if self.caption_rep is not None:
             item["tea_rep"] = self.caption_rep[idx]
+        if self.image_rep is not None:
+            item["tea_img_rep"] = self.image_rep[idx]
         return item

@@ -44,18 +44,33 @@ class LCLIPScorer:
     compute_dtype: Any = jnp.bfloat16
 
     def __post_init__(self):
-        # commit tower weights to device ONCE: serving calls must transfer
-        # only the request tensors, never the ~hundreds of weight buffers
-        # (each host buffer would otherwise be re-uploaded per jitted call —
-        # measured 100+ s/call through a remote-backend tunnel)
-        self.image_vars = jax.device_put(self.image_vars)
-        self.text_vars = jax.device_put(self.text_vars)
+        from distillclip_tpu.training.train_state import cast_to_compute
+
+        # Cast weights to the compute dtype ONCE (fp32 LN internals are
+        # preserved by the modules themselves): applying raw fp32 params
+        # promotes every matmul to f32 — measured 141 ms vs ~15 ms for the
+        # bucket-256 bf16 encode on v5e.  Then commit them to device ONCE:
+        # serving calls must transfer only the request tensors, never the
+        # ~hundreds of weight buffers (each host buffer would otherwise be
+        # re-uploaded per jitted call — measured 100+ s/call through a
+        # remote-backend tunnel).
+        self.image_vars = jax.device_put(
+            cast_to_compute(self.image_vars, self.compute_dtype))
+        self.text_vars = jax.device_put(
+            cast_to_compute(self.text_vars, self.compute_dtype))
         flags = ControlFlags()
 
         @jax.jit
         def encode_image(variables, images):
+            # uint8 requests are normalized ON DEVICE ((x/255-mean)/std,
+            # same arithmetic as the training input path,
+            # train_state.prepare_inputs) — 4x less host->device transfer
+            # than normalized fp32; float inputs pass through pre-normalized
+            from distillclip_tpu.training.train_state import prepare_inputs
+
             out = self.image_module.apply(
-                variables, images.astype(self.compute_dtype), flags, deterministic=True
+                variables, prepare_inputs(images, self.compute_dtype), flags,
+                deterministic=True,
             )
             return l2_normalize(out.last_representation.astype(jnp.float32))
 
@@ -64,8 +79,20 @@ class LCLIPScorer:
             out = self.text_module.apply(variables, tokens, flags, deterministic=True)
             return l2_normalize(out.last_representation.astype(jnp.float32))
 
+        @jax.jit
+        def score_pairs(img_variables, txt_variables, images, tokens):
+            # one fused program: image encode + text encode + cosine.  One
+            # dispatch + one readback per request instead of three — on a
+            # remote (tunneled) backend each dispatch is a network round
+            # trip that dwarfs the compute (BENCH_NOTES round 4); on a
+            # colocated host it still halves dispatch overhead.
+            img_f = encode_image(img_variables, images)
+            txt_f = encode_text(txt_variables, tokens)
+            return jnp.sum(img_f * txt_f, axis=1)
+
         self._encode_image = encode_image
         self._encode_text = encode_text
+        self._score_pairs = score_pairs
 
     # -- builders -----------------------------------------------------------
 
@@ -177,10 +204,25 @@ class LCLIPScorer:
         return np.sum(img_f * txt_f, axis=1)
 
     def score_tokens(self, images: np.ndarray, tokens: np.ndarray) -> np.ndarray:
-        """Per-pair cosine for preprocessed images + pre-tokenized captions."""
-        img_f = self.encode_images(images)
-        txt_f = self.encode_tokens(tokens)
-        return np.sum(img_f * txt_f, axis=1)
+        """Per-pair cosine for preprocessed images + pre-tokenized captions.
+
+        The aligned-pair fast path: both inputs pad to the same bucket and
+        run as ONE fused device program (see score_pairs in __post_init__).
+        """
+        n = len(images)
+        assert len(tokens) == n, "score_tokens expects aligned (image, token) pairs"
+        b = _bucket(n)
+        if b != n:
+            images = np.concatenate(
+                [images, np.zeros((b - n,) + images.shape[1:], images.dtype)]
+            )
+            tokens = np.concatenate(
+                [tokens, np.zeros((b - n, tokens.shape[1]), tokens.dtype)]
+            )
+        scores = self._score_pairs(
+            self.image_vars, self.text_vars, jnp.asarray(images), jnp.asarray(tokens)
+        )
+        return np.asarray(scores)[:n]
 
     def score_files(self, image_paths: Sequence[str], captions: Sequence[str]) -> np.ndarray:
         from distillclip_tpu.data import native_loader

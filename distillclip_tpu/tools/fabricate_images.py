@@ -67,6 +67,29 @@ def fabricate(out: str, n_train: int = 2048, n_val: int = 128,
     print(f"fabricated {n_train} train + {n_val} val JPEGs under {out}")
 
 
+def fabricate_coco_train(out: str, n_train: int = 256, size: int = 224,
+                         seed: int = 1) -> None:
+    """Also emit a train2017 split (stage-3 COCODataset shape): the tiny
+    corpus behind the cached-teachers quality A/B (BENCH_NOTES round 4)."""
+    rng = np.random.default_rng(seed)
+    train_dir = os.path.join(out, "mscoco", "train2017")
+    ann_dir = os.path.join(out, "mscoco", "annotations")
+    os.makedirs(train_dir, exist_ok=True)
+    os.makedirs(ann_dir, exist_ok=True)
+    images, annotations = [], []
+    for i in range(n_train):
+        name = f"{i:012d}.jpg"
+        _write_jpeg(os.path.join(train_dir, name), rng, size)
+        images.append({"id": i, "file_name": name})
+        annotations.append({
+            "id": 20_000 + i, "image_id": i,
+            "caption": WORDS[i % len(WORDS)] + f" number {i}",
+        })
+    with open(os.path.join(ann_dir, "captions_train2017.json"), "w") as f:
+        json.dump({"images": images, "annotations": annotations}, f)
+    print(f"fabricated {n_train} train2017 JPEGs under {out}")
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
@@ -74,8 +97,13 @@ def main():
     p.add_argument("--n-val", type=int, default=128)
     p.add_argument("--size", type=int, default=224)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--coco-train", type=int, default=0,
+                   help="also emit a train2017 split with N images "
+                        "(stage-3 COCODataset shape)")
     a = p.parse_args()
     fabricate(a.out, a.n_train, a.n_val, a.size, a.seed)
+    if a.coco_train:
+        fabricate_coco_train(a.out, a.coco_train, a.size, a.seed + 1)
 
 
 if __name__ == "__main__":

@@ -174,8 +174,11 @@ class Trainer:
         # --- state init from one sample batch ---
         sample = next(iter(train_loader))
         # datasets carrying precomputed teacher reps ('tea_rep') drop the
-        # frozen teacher tower from the train step (VERDICT r1 item 4)
+        # frozen teacher tower from the train step (VERDICT r1 item 4);
+        # 'tea_img_rep' too (dual only) drops the WHOLE teacher
+        # (no-augment deviation, BASELINE.md north-star analysis)
         cached_teacher = "tea_rep" in sample
+        all_cached = dual and cached_teacher and "tea_img_rep" in sample
         if dual:
             state, tx = task.init_state(
                 rng, jnp.asarray(sample["tokens"][:1]), jnp.asarray(sample["images"][:1]),
@@ -234,7 +237,9 @@ class Trainer:
 
         def build_train_step(tx_, trainable_mask=None):
             kw = {}
-            if cached_teacher:
+            if all_cached:
+                kw["cached_teachers"] = True
+            elif cached_teacher:
                 kw["cached_text_teacher" if dual else "cached_teacher"] = True
             return task.make_train_step(
                 mesh, tx_, deterministic=self.deterministic_forward,
@@ -243,6 +248,11 @@ class Trainer:
 
         def run_train_step(state, batch, rng):
             if dual:
+                if all_cached:
+                    return train_step(
+                        state, batch["tokens"], batch["images"],
+                        batch["tea_rep"], batch["tea_img_rep"], rng,
+                    )
                 if cached_teacher:
                     return train_step(
                         state, teacher_cv, batch["tokens"], batch["images"],

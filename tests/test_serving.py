@@ -102,3 +102,21 @@ def test_student_checkpoint_scorer(ckpt_path, tmp_path):
         jnp.asarray(tokens), jnp.asarray(imgs_np), method=clip.score,
     )
     np.testing.assert_allclose(scores, np.diagonal(np.asarray(logits)), rtol=1e-2, atol=2e-2)
+
+
+@pytest.mark.quick
+def test_scorer_uint8_matches_normalized_float(ckpt_path):
+    """uint8 requests (production wire format, device-side normalize) must
+    score identically to pre-normalized float inputs."""
+    from distillclip_tpu.data.transforms import IMAGE_MEAN, IMAGE_STD
+    from distillclip_tpu.serving import LCLIPScorer
+
+    scorer = LCLIPScorer.from_teacher(ckpt_path)
+    rng = np.random.default_rng(0)
+    u8 = rng.integers(0, 256, size=(2, RES, RES, 3), dtype=np.uint8)
+    norm = (u8.astype(np.float32) / 255.0 - np.asarray(IMAGE_MEAN, np.float32)) / np.asarray(
+        IMAGE_STD, np.float32)
+    captions = ["hello world", "another caption"]
+    s_u8 = scorer.score_arrays(u8, captions)
+    s_f32 = scorer.score_arrays(norm, captions)
+    np.testing.assert_allclose(s_u8, s_f32, atol=1e-2)

@@ -684,3 +684,79 @@ def test_dual_fully_cached_teachers_matches_live(ckpt_path, mesh):
     )
     with pytest.raises(ValueError, match="cached_teachers"):
         tap_task.make_train_step(mesh, tx, cached_teachers=True)
+
+
+def test_coco_fully_cached_pipeline_end_to_end(ckpt_path, tmp_path):
+    """Fabricated tiny COCO corpus -> prepare (caption + image rep caches,
+    tiny teacher) -> COCODataset(augment_train=False, both caches) ->
+    trainer auto-selects the fully-cached dual step ('tea_img_rep' in the
+    batch) and fits.  Covers the whole no-augment deviation pipeline
+    (BASELINE.md north-star analysis)."""
+    import json as _json
+
+    from distillclip_tpu.data.datamodule import MainDataModule
+    from distillclip_tpu.tools.fabricate_images import (
+        fabricate, fabricate_coco_train,
+    )
+    from distillclip_tpu.training.trainer import Trainer
+
+    corpus = str(tmp_path / "corpus")
+    fabricate(corpus, n_train=0, n_val=16, size=RES)
+    fabricate_coco_train(corpus, n_train=32, size=RES)
+
+    dm = MainDataModule(
+        dataset="ms_coco",
+        dataset_name="COCODataset",
+        prepare_para={"cache_caption_reps": True, "cache_image_reps": True},
+        dataset_para={
+            "root_path": f"{corpus}/mscoco",
+            "annotation_path": f"{corpus}/mscoco/annotations",
+            "image_size": RES,
+            "context_length": CTX,
+            "cached_text_teacher_reps": True,
+            "cached_image_teacher_reps": True,
+            "augment_train": False,
+            "cache_dir": str(tmp_path / "cache"),
+            "teacher_name": ckpt_path,
+            "download_root": str(tmp_path / "cache"),
+        },
+        train_batch_size=8,
+        val_batch_size=8,
+        num_workers=0,
+    )
+    img_student = RepeatVisionTransformer(
+        img_size=RES, patch_size=PATCH, out_dim=48, embed_dim=32, depth=2,
+        num_heads=4, repeated_times=2, qkv_bias=True,
+    )
+    txt_student = RepeatTextTransformer(
+        vocab_size=VOCAB, context_length=CTX, out_dim=48, embed_dim=32,
+        depth=2, num_heads=4, repeated_times=2,
+    )
+    task = DualDistillTask(
+        image_student=img_student, text_student=txt_student,
+        loss_control_para={"loss_name": ["out_l1", "out_cos", "cos_diff"],
+                           "loss_scale": {"cos_diff": 0.1}},
+        teacher_name=ckpt_path, lr=1e-3, warm_steps=1, total_steps=4,
+    )
+    trainer = Trainer(max_epochs=1, result_dir=str(tmp_path), run_name="cocoab",
+                      log_every_n_steps=1, limit_val_batches=1)
+    trainer.fit(task, dm)
+    lines = [_json.loads(l) for l in open(tmp_path / "cocoab" / "metrics.jsonl")]
+    assert any("train_loss/loss" in d for d in lines)
+
+    # dataset items carry BOTH cached rep kinds
+    item = dm.trainset[0]
+    assert item["tea_rep"].shape == (OUT,)
+    assert item["tea_img_rep"].shape == (OUT,)
+
+    # RandAugment + cached image reps must refuse to combine
+    from distillclip_tpu.data.component.ms_coco import COCODataset
+
+    with pytest.raises(ValueError, match="augment_train"):
+        COCODataset(
+            root_path=f"{corpus}/mscoco",
+            annotation_path=f"{corpus}/mscoco/annotations",
+            image_size=RES, context_length=CTX,
+            cached_image_teacher_reps=True, augment_train=True,
+            cache_dir=str(tmp_path / "cache"), teacher_name=ckpt_path,
+        )
