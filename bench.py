@@ -521,7 +521,10 @@ def main():
 
     if args.serve:
         serving = run_serve(quick=args.quick)
-        headline = max(v["pairs_per_s_per_chip"] for v in serving.values())
+        headline = max(
+            v["pairs_per_s_per_chip"] for v in serving.values()
+            if isinstance(v, dict) and "pairs_per_s_per_chip" in v
+        )
         print(json.dumps({
             "metric": METRIC_NAMES["serve"],
             "value": headline,
