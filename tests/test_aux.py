@@ -10,6 +10,8 @@ import numpy as np
 import pytest
 import yaml
 
+pytestmark = pytest.mark.quick  # fast oracle tests (-m quick inner loop)
+
 import jax.numpy as jnp
 
 from distillclip_tpu.models.irpe import RpeConfig, bucket_ids_2d, onehot_bucket_table

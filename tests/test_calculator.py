@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast oracle tests (-m quick inner loop)
+
 import jax
 import jax.numpy as jnp
 

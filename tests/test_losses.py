@@ -11,6 +11,8 @@ import pytest
 import torch
 import torch.nn.functional as tf
 
+pytestmark = pytest.mark.quick  # fast oracle tests (-m quick inner loop)
+
 import jax
 import jax.numpy as jnp
 

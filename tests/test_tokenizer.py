@@ -5,6 +5,8 @@ import gzip
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.quick  # fast oracle tests (-m quick inner loop)
+
 from distillclip_tpu.data.tokenizer import (
     HashTokenizer,
     SimpleTokenizer,

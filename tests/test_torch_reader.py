@@ -10,6 +10,8 @@ import pytest
 import torch
 import torch.nn as nn
 
+pytestmark = pytest.mark.quick  # fast oracle tests (-m quick inner loop)
+
 from distillclip_tpu.models.torch_reader import UnsupportedTorchFile, read_torch_file
 
 
