@@ -554,8 +554,10 @@ def flash_attention_rows_qkv(
     # block-diag kernel supports causal via one extra additive bias (masked
     # probs are exactly 0, so the save-P backward needs nothing), halving
     # MXU row-cycles vs the packed kernel (M=Np dots instead of M=hc*Np).
-    # Default stays 'packed' until the hardware A/B lands.
-    causal_mode = os.environ.get("DISTILLCLIP_CAUSAL_ATTN", "packed")
+    # Hardware A/B (fenced, interleaved, v5e-1, round 4): live text stage
+    # B=1024 — blockdiag 171.0/171.1 ms vs packed 175.7/176.1 ms; default
+    # flipped to blockdiag.
+    causal_mode = os.environ.get("DISTILLCLIP_CAUSAL_ATTN", "blockdiag")
     if causal and causal_mode == "blockdiag" and not _interpret():
         from distillclip_tpu.ops.blockdiag_attention import (
             blockdiag_attention_rows_qkv,
