@@ -45,7 +45,8 @@ PERF_KNOBS = (
     "tf_impl",          # transform-attention implementation select
     "tf_bwd",           # transform backward: xla|kernel
     "tf_bwd_gb",        # transform backward grid-block size
-    "tf_fa_gb",         # transform forward grid-block size
+    "tf_gb",            # transform (colcat) forward grid-block size
+    "tf_fa_gb",         # factored-kernel forward grid-block size
     "tf_hc",            # transform head-chunk override
     "tf_mix",           # head-mix formulation select
     "tf_scores",        # scores-layout select

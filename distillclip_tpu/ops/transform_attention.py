@@ -423,11 +423,21 @@ def _pick_gb(B: int, cap: int = 16) -> int:
     return 1
 
 
+def _fwd_gb(B: int) -> int:
+    """Forward row-block size; DISTILLCLIP_TF_GB overrides for tuning
+    (hardware A/B round 4, interleaved, image student step B=256:
+    gb=32 43.31 ms vs gb=16 39.20/39.23 ms — 16 stays the default)."""
+    env = os.environ.get("DISTILLCLIP_TF_GB")
+    if env and B % int(env) == 0:
+        return int(env)
+    return _pick_gb(B)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def _tf_flat_qkv(qkvf, wl, ww, scale, n, heads, np_len):
     rows_total, HD3 = qkvf.shape
     d = HD3 // 3 // heads
-    gb = _pick_gb(rows_total // np_len)
+    gb = _fwd_gb(rows_total // np_len)
     return _tf_fwd_call(qkvf, wl, ww, float(scale), n, gb, np_len, heads, d)
 
 
@@ -450,7 +460,7 @@ def _bwd_mode() -> str:
 def _tf_flat_qkv_fwd(qkvf, wl, ww, scale, n, heads, np_len):
     rows_total, HD3 = qkvf.shape
     d = HD3 // 3 // heads
-    gb = _pick_gb(rows_total // np_len)
+    gb = _fwd_gb(rows_total // np_len)
     if _bwd_mode() == "kernel":
         # save-P training path: the forward also emits the bf16 probs so the
         # fused backward skips the score recompute entirely
