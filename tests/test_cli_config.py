@@ -204,3 +204,25 @@ def test_perf_config_reaches_dispatch(monkeypatch):
 
     with pytest.raises(ValueError, match="unknown perf knob"):
         apply_perf_config({"warp_speed": 9})
+
+
+@pytest.mark.quick
+def test_allcached_overlay_merges_over_final_l_clip():
+    """configs/final/l_clip_allcached.yaml is a deep-merge overlay: the
+    merged config must keep the base model/trainer and flip the data
+    section to the fully-cached no-augment pipeline."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_configs([
+        os.path.join(repo, "configs", "final", "l_clip.yaml"),
+        os.path.join(repo, "configs", "final", "l_clip_allcached.yaml"),
+    ])
+    para = cfg["data"]["init_args"]["dataset_para"]
+    prep = cfg["data"]["init_args"]["prepare_para"]
+    assert para["augment_train"] is False
+    assert para["cached_image_teacher_reps"] is True
+    assert para["cached_text_teacher_reps"] is True
+    assert prep["cache_image_reps"] is True and prep["cache_caption_reps"] is True
+    # base survives the merge
+    assert cfg["model"]["class_path"] == "DualDistillModel"
+    assert cfg["data"]["init_args"]["train_batch_size"] == 512
+    assert cfg["trainer"]["max_epochs"] == 300
