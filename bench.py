@@ -189,7 +189,11 @@ def run_stage(stage, quick=False, batch=None, steps=20, warmup=3,
         # final l_clip.yaml student scale
         img_size, patch, embed, depth, heads = 224, 32, 768, 6, 24
         txt_embed, txt_depth = 768, 4
-        batch = batch or {"l_clip": 256, "image": 512, "text": 1024}[stage]
+        # image default 256: live-stage batch sweep (fenced, round 4) —
+        # B=256 (true-N active) 4,486/4,551 img/s vs B=512 4,394/4,405 and
+        # B=320 4,484; the reference's 1024-global/4-GPU config maps to 256
+        # per chip anyway
+        batch = batch or {"l_clip": 256, "image": 256, "text": 1024}[stage]
         out_dim = 512
 
     image_student = RepeatVisionTransformer(
