@@ -294,18 +294,27 @@ def _rows_fwd_kernel(qkv_ref, o_ref, lse_ref,
     """
     hc = _head_chunk(h, np_len)
     HD = h * d
+    CH = hc * np_len
     bias = _rows_bias(np_len, n, causal, hc)
+    # every (sample, chunk) iteration gets its OWN scratch region: reusing
+    # one region across the loop is a write-after-read hazard Mosaic
+    # mis-schedules on hardware — the later iteration's packing stores land
+    # before the earlier iteration's dot reads, which silently corrupted
+    # the scores (observed round 4: causal outputs ignored the mask for
+    # gb >= 2 while gb=1 and interpret mode were exact)
     for s in range(gb):
         lo = s * np_len
         for c in range(h // hc):
+            base = (s * (h // hc) + c) * CH
             for j in range(hc):
                 i = c * hc + j
-                dst = slice(j * np_len, (j + 1) * np_len)
+                dst = slice(base + j * np_len, base + (j + 1) * np_len)
                 q_pk[dst, :] = qkv_ref[lo:lo + np_len, i * d:(i + 1) * d]
                 k_pk[dst, :] = qkv_ref[lo:lo + np_len, HD + i * d:HD + (i + 1) * d]
                 v_pk[dst, :] = qkv_ref[lo:lo + np_len, 2 * HD + i * d:2 * HD + (i + 1) * d]
             sm = jax.lax.dot_general(
-                q_pk[...], k_pk[...], (((1,), (1,)), ((), ())),
+                q_pk[base:base + CH, :], k_pk[base:base + CH, :],
+                (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale + bias
             m = jnp.max(sm, axis=-1, keepdims=True)
@@ -313,7 +322,7 @@ def _rows_fwd_kernel(qkv_ref, o_ref, lse_ref,
             denom = jnp.sum(e, axis=-1, keepdims=True)
             p = (e / denom).astype(v_pk.dtype)
             o_pk = jax.lax.dot_general(
-                p, v_pk[...], (((1,), (0,)), ((), ())),
+                p, v_pk[base:base + CH, :], (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             lse_pk = m + jnp.log(denom)
@@ -330,14 +339,19 @@ def _rows_bwd_kernel(qkv_ref, o_ref, lse_ref, do_ref,
                      *, scale, causal, gb, h, np_len, n, d):
     hc = _head_chunk(h, np_len)
     HD = h * d
+    CH = hc * np_len
     bias = _rows_bias(np_len, n, causal, hc)
+    # per-iteration scratch regions: see _rows_fwd_kernel (Mosaic WAR
+    # hazard on reused scratch across the sample loop)
     for s in range(gb):
         lo = s * np_len
         for c in range(h // hc):
+            base = (s * (h // hc) + c) * CH
+            reg = slice(base, base + CH)
             for j in range(hc):
                 i = c * hc + j
                 sl = slice(i * d, (i + 1) * d)
-                dst = slice(j * np_len, (j + 1) * np_len)
+                dst = slice(base + j * np_len, base + (j + 1) * np_len)
                 q_pk[dst, :] = qkv_ref[lo:lo + np_len, i * d:(i + 1) * d]
                 k_pk[dst, :] = qkv_ref[lo:lo + np_len, HD + i * d:HD + (i + 1) * d]
                 v_pk[dst, :] = qkv_ref[lo:lo + np_len, 2 * HD + i * d:2 * HD + (i + 1) * d]
@@ -346,24 +360,24 @@ def _rows_bwd_kernel(qkv_ref, o_ref, lse_ref, do_ref,
                 lse_pk[dst, :] = lse_ref[lo:lo + np_len, i:i + 1]
 
             sm = jax.lax.dot_general(
-                q_pk[...], k_pk[...], (((1,), (1,)), ((), ())),
+                q_pk[reg, :], k_pk[reg, :], (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale + bias
-            pmat = jnp.exp(sm - lse_pk[...])
+            pmat = jnp.exp(sm - lse_pk[reg, :])
             pb = pmat.astype(q_pk.dtype)
 
-            dv = jax.lax.dot_general(pb, do_pk[...], (((0,), (0,)), ((), ())),
+            dv = jax.lax.dot_general(pb, do_pk[reg, :], (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(do_pk[...], v_pk[...], (((1,), (1,)), ((), ())),
+            dp = jax.lax.dot_general(do_pk[reg, :], v_pk[reg, :], (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             delta = jnp.sum(
-                do_pk[...].astype(jnp.float32) * o_pk[...].astype(jnp.float32),
+                do_pk[reg, :].astype(jnp.float32) * o_pk[reg, :].astype(jnp.float32),
                 axis=-1, keepdims=True,
             )
             ds = (pmat * (dp - delta) * scale).astype(q_pk.dtype)
-            dq = jax.lax.dot_general(ds, k_pk[...], (((1,), (0,)), ((), ())),
+            dq = jax.lax.dot_general(ds, k_pk[reg, :], (((1,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
-            dk = jax.lax.dot_general(ds, q_pk[...], (((0,), (0,)), ((), ())),
+            dk = jax.lax.dot_general(ds, q_pk[reg, :], (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             for j in range(hc):
                 i = c * hc + j
@@ -377,7 +391,9 @@ def _rows_call(kernel, n_out, args, rows_total, HD, gb, np_len, h, d, scale, cau
     rows_blk = gb * np_len
     n_blocks = rows_total // rows_blk
     hc = _head_chunk(h, np_len)
-    pk_rows = hc * np_len
+    # one region per (sample, head-chunk) iteration (WAR hazard; see
+    # _rows_fwd_kernel) — gb * (h/hc) regions of hc*np_len rows
+    pk_rows = gb * (h // hc) * hc * np_len
     dtype = args[0].dtype
     blk3 = pl.BlockSpec((rows_blk, 3 * HD), lambda i: (i, 0), memory_space=pltpu.VMEM)
     blk = pl.BlockSpec((rows_blk, HD), lambda i: (i, 0), memory_space=pltpu.VMEM)

@@ -456,3 +456,10 @@ def _tf_factored_bwd(scale, n, heads, np_len, res, do):
 
 
 tf_factored_qkv.defvjp(_tf_factored_fwd, _tf_factored_bwd)
+
+# NOTE (round 4): this opt-in kernel reuses its S/T/Qs scratch across the
+# per-sample loop — the same write-after-read pattern that silently
+# corrupted the packed rows kernel on hardware for gb >= 2 (see
+# flash_attention._rows_fwd_kernel).  Interpret-mode results are exact; if
+# this kernel is ever promoted to a default path, give each loop iteration
+# its own scratch region first and re-oracle on hardware.
