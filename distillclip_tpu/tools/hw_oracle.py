@@ -163,7 +163,47 @@ def check_fc1(results):
     results.append(("dense_act_ln (LN+fc1+gelu)", fe, worst, ok))
 
 
-CHECKS = {"plain": check_plain, "transform": check_transform, "fc1": check_fc1}
+def check_dense_ln(results):
+    """Fused LN+dense (the norm1 -> qkv fold) fwd + dx/dw."""
+    import jax
+    import jax.numpy as jnp
+
+    fc = importlib.import_module("distillclip_tpu.ops.fc1_act")
+
+    rng = np.random.default_rng(2)
+    rows, C, O = 512, 256, 768
+    x = jnp.asarray(rng.normal(size=(rows, C)).astype(np.float32)).astype(jnp.bfloat16)
+    ls = jnp.asarray(1 + 0.1 * rng.normal(size=(C,)).astype(np.float32)).astype(jnp.bfloat16)
+    lb = jnp.asarray(0.1 * rng.normal(size=(C,)).astype(np.float32)).astype(jnp.bfloat16)
+    w = jnp.asarray(rng.normal(size=(C, O)).astype(np.float32) * 0.05).astype(jnp.bfloat16)
+    b = jnp.asarray(0.1 * rng.normal(size=(O,)).astype(np.float32)).astype(jnp.bfloat16)
+
+    def ref(x, ls, lb, w, b):
+        xf = x.astype(jnp.float32)
+        mu = xf.mean(-1, keepdims=True)
+        var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+        xn = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * ls.astype(jnp.float32) + lb.astype(
+            jnp.float32)
+        return xn.astype(jnp.bfloat16).astype(jnp.float32) @ w.astype(jnp.float32) + b.astype(
+            jnp.float32)
+
+    o = np.asarray(jax.jit(lambda *a: fc.dense_ln(*a))(x, ls, lb, w, b)).astype(np.float32)
+    r = np.asarray(jax.jit(ref)(x, ls, lb, w, b))
+    loss = lambda fn: (lambda *a: jnp.sum(jnp.sin(fn(*a).astype(jnp.float32))))
+    g = jax.jit(jax.grad(loss(fc.dense_ln), argnums=(0, 3)))(x, ls, lb, w, b)
+    gr = jax.jit(jax.grad(loss(ref), argnums=(0, 3)))(x, ls, lb, w, b)
+    fe, _ = _rel(o, r)
+    ok = fe < 0.02
+    worst = 0.0
+    for a, b2 in zip(g, gr):
+        _, rel = _rel(a, b2)
+        worst = max(worst, rel)
+        ok = ok and rel < 0.02
+    results.append(("dense_ln (LN+qkv)", fe, worst, ok))
+
+
+CHECKS = {"plain": check_plain, "transform": check_transform, "fc1": check_fc1,
+          "dense_ln": check_dense_ln}
 
 
 def main(argv=None):
