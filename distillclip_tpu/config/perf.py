@@ -72,7 +72,14 @@ def apply_perf_config(perf_cfg: Optional[Dict]) -> Dict[str, str]:
             # the snapshot records what actually ran
             effective[key] = os.environ[env]
         else:
-            sval = str(val)
+            # YAML booleans must land as the strings the dispatch functions
+            # actually parse: flash_enabled() tests == "1", so the natural
+            # spelling ``flash: true`` would silently DISABLE the kernel path
+            # if coerced with str() (advisor r4, medium)
+            if isinstance(val, bool):
+                sval = "1" if val else "0"
+            else:
+                sval = str(val)
             os.environ[env] = sval
             effective[key] = sval
     # env-only knobs (set outside any config) also land in the snapshot so

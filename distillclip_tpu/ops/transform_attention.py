@@ -428,8 +428,15 @@ def _fwd_gb(B: int) -> int:
     (hardware A/B round 4, interleaved, image student step B=256:
     gb=32 43.31 ms vs gb=16 39.20/39.23 ms — 16 stays the default)."""
     env = os.environ.get("DISTILLCLIP_TF_GB")
-    if env and B % int(env) == 0:
-        return int(env)
+    if env:
+        # config-settable knob (perf `tf_gb`): a bad value must fall back,
+        # not raise ZeroDivisionError/ValueError at trace time (advisor r4)
+        try:
+            gb = int(env)
+        except ValueError:
+            gb = 0
+        if gb > 0 and B % gb == 0:
+            return gb
     return _pick_gb(B)
 
 

@@ -40,6 +40,13 @@ def suggest_from_history(lrs, losses, skip_begin: int = 10, skip_end: int = 1,
                          smooth: float = 0.05) -> Optional[float]:
     """Lightning's suggestion rule: lr at the minimum gradient of the
     EWMA-smoothed loss, ignoring the sweep's edges."""
+    # drop non-finite tail entries (diverged sweep): NaN would propagate
+    # through the EWMA/gradient and argmin would land AT the divergence lr
+    # instead of the steepest descent (advisor r4; mirrors Lightning)
+    finite = [(lr, l) for lr, l in zip(lrs, losses) if math.isfinite(l)]
+    if not finite:
+        return None
+    lrs, losses = zip(*finite)
     if len(losses) < skip_begin + skip_end + 2:
         skip_begin, skip_end = 1, 1
     if len(losses) < skip_begin + skip_end + 2:

@@ -183,6 +183,10 @@ def test_perf_config_reaches_dispatch(monkeypatch):
         true_n_rows_enabled,
     )
 
+    # apply_perf_config writes knobs into os.environ; sandbox the whole
+    # environ so DISTILLCLIP_FLASH=0 / TRUE_N=1 cannot leak into the rest
+    # of the suite and silently switch it off the kernel path (advisor r4)
+    monkeypatch.setattr(os, "environ", dict(os.environ))
     for name in ("FLASH", "TRUE_N", "PLAIN_ATTN"):
         monkeypatch.delenv(f"DISTILLCLIP_{name}", raising=False)
 
@@ -204,6 +208,15 @@ def test_perf_config_reaches_dispatch(monkeypatch):
 
     with pytest.raises(ValueError, match="unknown perf knob"):
         apply_perf_config({"warp_speed": 9})
+
+    # YAML booleans normalize to the strings the dispatch fns parse
+    # (`flash: true` must ENABLE, not str()-coerce to "True" == disabled)
+    monkeypatch.delenv("DISTILLCLIP_FLASH", raising=False)
+    assert apply_perf_config({"flash": True})["flash"] == "1"
+    assert flash_enabled()
+    monkeypatch.delenv("DISTILLCLIP_FLASH", raising=False)
+    assert apply_perf_config({"flash": False})["flash"] == "0"
+    assert not flash_enabled()
 
 
 @pytest.mark.quick

@@ -5,6 +5,8 @@ against a fabricated CLIP teacher, jitted and sharded over the data axis —
 loss must be finite and DECREASE over a few steps.
 """
 
+import math
+
 import numpy as np
 import pytest
 import torch
@@ -600,6 +602,15 @@ def test_lr_finder_suggestion_rule():
         5.0 + i for i in range(40)]
     s = suggest_from_history(lrs, losses)
     assert lrs[35] <= s <= lrs[75]  # inside/near the descent region
+
+    # diverged sweep: NaN/inf tail entries must be dropped before smoothing
+    # so the suggestion stays in the descent region instead of landing at
+    # the divergence lr (advisor r4)
+    nan_losses = losses[:80] + [float("nan")] * 10 + [float("inf")] * 10
+    s_nan = suggest_from_history(lrs, nan_losses)
+    assert s_nan is not None and math.isfinite(s_nan)
+    assert lrs[35] <= s_nan <= lrs[79]
+    assert suggest_from_history(lrs, [float("nan")] * 100) is None
 
 
 def test_lr_find_runs_on_tiny_task(ckpt_path):
