@@ -102,27 +102,38 @@ def _scores_mode() -> str:
     return os.environ.get("DISTILLCLIP_TF_SCORES", "perhead")
 
 
-def _scores_scaled(q, k, lane_w, Qs, S, h, hc, np_len):
+def _scores_scaled(q, k, lane_w, Qs, S, h, hc, np_len, qs_base=0, s_base=0):
     """Scores via scaled-operand chunked dots: [hc*Np, HD] x [Np, HD]^T
-    emits the packed [hc*Np, Np] rows directly (see _scores_mode)."""
+    emits the packed [hc*Np, Np] rows directly (see _scores_mode).
+
+    ``qs_base``/``s_base`` select this loop iteration's OWN scratch region:
+    reusing one region across the per-sample (or per-chunk) loop is the
+    write-after-read pattern Mosaic mis-schedules on hardware (round-4
+    packed-rows find, flash_attention._rows_fwd_kernel).  Each chunk c
+    also gets its own Qs region for the same reason.
+    """
+    CH = hc * np_len
     for c in range(h // hc):
+        qb = qs_base + c * CH
         for t in range(hc):
             b = c * hc + t
-            Qs[t * np_len:(t + 1) * np_len, :] = (
+            Qs[qb + t * np_len:qb + (t + 1) * np_len, :] = (
                 q * lane_w[b:b + 1, :]).astype(Qs.dtype)
-        S[c * hc * np_len:(c + 1) * hc * np_len, :] = jax.lax.dot_general(
-            Qs[...], k, (((1,), (1,)), ((), ())),
+        S[s_base + c * CH:s_base + (c + 1) * CH, :] = jax.lax.dot_general(
+            Qs[qb:qb + CH, :], k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
 
 
-def _scores_perhead(q, k, S, h, d, np_len, scale=1.0):
-    """True-FLOP per-head dots straight off lane slices: S[j] = q_j k_j^T."""
+def _scores_perhead(q, k, S, h, d, np_len, scale=1.0, base=0):
+    """True-FLOP per-head dots straight off lane slices: S[j] = q_j k_j^T.
+    ``base``: this iteration's own S region (Mosaic WAR hazard, see above)."""
     for j in range(h):
         sl = slice(j * d, (j + 1) * d)
         sc = jax.lax.dot_general(
             q[:, sl], k[:, sl], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        S[j * np_len:(j + 1) * np_len, :] = sc * scale if scale != 1.0 else sc
+        dst = slice(base + j * np_len, base + (j + 1) * np_len)
+        S[dst, :] = sc * scale if scale != 1.0 else sc
 
 
 def _mix_mode() -> str:
@@ -131,8 +142,12 @@ def _mix_mode() -> str:
     return os.environ.get("DISTILLCLIP_TF_MIX", "fma")
 
 
-def _mix(W_ref, src, dst, h, np_len, transpose=False):
+def _mix(W_ref, src, dst, h, np_len, transpose=False, src_base=0, dst_base=0):
     """dst[b] = sum_j W[b,j] * src[j] over head blocks (W[j,b] if transpose).
+
+    ``src_base``/``dst_base`` select the calling loop iteration's own
+    scratch regions (Mosaic WAR hazard on reused scratch, see
+    _scores_scaled).
 
     Two lowerings:
     * 'fma' (default): h^2 aligned [Np, Np] tile scale-adds.  W is loaded
@@ -154,7 +169,7 @@ def _mix(W_ref, src, dst, h, np_len, transpose=False):
         Drow = (r1 // np_len == c1).astype(jnp.float32)       # [(b,r), b]
         rw = jax.lax.broadcasted_iota(jnp.int32, (h, h), 0)
         cw = jax.lax.broadcasted_iota(jnp.int32, (h, h), 1)
-        full = src[...]
+        full = src[src_base:src_base + HN, :]
         acc = None
         for delta in range(h):
             # diag-delta coefficients: c[b] = W[b, (b+delta)%h]
@@ -179,19 +194,19 @@ def _mix(W_ref, src, dst, h, np_len, transpose=False):
             rolled = pltpu.roll(full, (HN - delta * np_len) % HN, 0)
             term = c_full * rolled
             acc = term if acc is None else acc + term
-        dst[...] = acc
+        dst[dst_base:dst_base + HN, :] = acc
         return
     for b in range(h):
         acc = None
         for j in range(h):
-            wj = W[j:j + 1, b:b + 1] if transpose else W[b:b + 1, j:j + 1]
-            # Mosaic has no [1,1] -> [Np, Np] broadcast ("both sublanes and
-            # lanes"); chain two single-axis broadcasts instead: sublanes
-            # explicitly, lanes implicitly in the multiply.
-            wcol = jnp.broadcast_to(wj, (np_len, 1))
-            term = wcol * src[j * np_len:(j + 1) * np_len, :]
+            # rank-0 extract -> vector-scalar multiply: Mosaic rejects a
+            # fused [1,1] -> [Np, Np] broadcast ("both sublanes and
+            # lanes", probed on hardware round 5), but a true scalar
+            # splat lowers fine
+            wj = W[j, b] if transpose else W[b, j]
+            term = wj * src[src_base + j * np_len:src_base + (j + 1) * np_len, :]
             acc = term if acc is None else acc + term
-        dst[b * np_len:(b + 1) * np_len, :] = acc
+        dst[dst_base + b * np_len:dst_base + (b + 1) * np_len, :] = acc
 
 
 def _fa_fwd_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref,
@@ -208,24 +223,31 @@ def _fa_fwd_kernel(qkv_ref, wl_ref, ww_ref, o_ref, p_ref,
         # conv_l (and the softmax scale) ride on q as a lane-broadcast mul
         wl_lane = _lane_expand(wl_ref[...], h, d, scale)
 
+    # per-iteration scratch regions (sb/qb): reusing one region across the
+    # sample loop is the WAR pattern Mosaic mis-schedules on hardware
+    # (round-4 packed-rows find; this kernel carried the same pattern
+    # flagged-only until round 5)
     for s in range(gb):
         lo = s * np_len
+        sb = s * HN
+        qb = s * HN  # Qs rows per sample: (h//hc) chunks * hc*np_len = HN
         q = qkv_ref[lo:lo + np_len, 0:HD]
         k = qkv_ref[lo:lo + np_len, HD:2 * HD]
         if scaled:
-            _scores_scaled(q, k, wl_lane, Qs, S, h, hc, np_len)  # S = mixed
+            _scores_scaled(q, k, wl_lane, Qs, S, h, hc, np_len,
+                           qs_base=qb, s_base=sb)                # S = mixed
         else:
-            _scores_perhead(q, k, T, h, d, np_len, scale)        # T = raw
-            _mix(wl_ref, T, S, h, np_len)                        # S = mixed
-        x = S[...] + kv_bias
+            _scores_perhead(q, k, T, h, d, np_len, scale, base=sb)  # T = raw
+            _mix(wl_ref, T, S, h, np_len, src_base=sb, dst_base=sb)  # S = mixed
+        x = S[sb:sb + HN, :] + kv_bias
         m = jnp.max(x, axis=-1, keepdims=True)
         e = jnp.exp(x - m)
         den = jnp.sum(e, axis=-1, keepdims=True)
-        S[...] = e / den                                 # S = P' (probs)
-        p_ref[s * HN:(s + 1) * HN, :] = S[...].astype(p_ref.dtype)
-        _mix(ww_ref, S, T, h, np_len)                    # T = Pm (conv_w-mixed)
+        S[sb:sb + HN, :] = e / den                       # S = P' (probs)
+        p_ref[s * HN:(s + 1) * HN, :] = S[sb:sb + HN, :].astype(p_ref.dtype)
+        _mix(ww_ref, S, T, h, np_len, src_base=sb, dst_base=sb)  # T = Pm
         for j in range(h):
-            blk = slice(j * np_len, (j + 1) * np_len)
+            blk = slice(sb + j * np_len, sb + (j + 1) * np_len)
             o_ref[lo:lo + np_len, j * d:(j + 1) * d] = jax.lax.dot_general(
                 T[blk, :].astype(jnp.bfloat16),
                 qkv_ref[lo:lo + np_len, 2 * HD + j * d:2 * HD + (j + 1) * d],
@@ -271,8 +293,14 @@ def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
     Wl_s[...] = jnp.zeros_like(Wl_s)
     Ww_s[...] = jnp.zeros_like(Ww_s)
 
+    # per-iteration scratch regions (sb/qb) for Qs/S/A/B2: the WAR pattern
+    # Mosaic mis-schedules on hardware (round-4 packed-rows find).  Wl_s /
+    # Ww_s stay shared: their read-modify-write accumulation is a true data
+    # dependence the scheduler must (and does) respect.
     for s in range(gb):
         lo = s * np_len
+        sb = s * HN
+        qb = s * HN
         q = qkv_ref[lo:lo + np_len, 0:HD]
         k = qkv_ref[lo:lo + np_len, HD:2 * HD]
         v = qkv_ref[lo:lo + np_len, 2 * HD:3 * HD]
@@ -280,21 +308,23 @@ def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
         # recompute raw per-head scores (needed for dwl only; cheaper than
         # a second [HN, Np] save+reload round trip through HBM)
         if scaled:
-            _scores_scaled(q, k, id_lane, Qs, S, h, hc, np_len)
+            _scores_scaled(q, k, id_lane, Qs, S, h, hc, np_len,
+                           qs_base=qb, s_base=sb)
         else:
-            _scores_perhead(q, k, S, h, d, np_len, scale)
+            _scores_perhead(q, k, S, h, d, np_len, scale, base=sb)
 
         pp = p_ref[s * HN:(s + 1) * HN, :].astype(jnp.float32)  # P' saved
 
         # dPm_g = do_g v_g^T
         if scaled:
-            _scores_scaled(do, v, mask_lane, Qs, A, h, hc, np_len)
+            _scores_scaled(do, v, mask_lane, Qs, A, h, hc, np_len,
+                           qs_base=qb, s_base=sb)
         else:
-            _scores_perhead(do, v, A, h, d, np_len)
+            _scores_perhead(do, v, A, h, d, np_len, base=sb)
         # dv_j = Pm_j^T do_j ; Pm recomputed from saved P' (tile FMAs)
-        _mix(ww_ref, pp, B2, h, np_len)
+        _mix(ww_ref, pp, B2, h, np_len, dst_base=sb)
         for j in range(h):
-            blk = slice(j * np_len, (j + 1) * np_len)
+            blk = slice(sb + j * np_len, sb + (j + 1) * np_len)
             dqkv_ref[lo:lo + np_len, 2 * HD + j * d:2 * HD + (j + 1) * d] = (
                 jax.lax.dot_general(
                     B2[blk, :].astype(jnp.bfloat16),
@@ -304,7 +334,7 @@ def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
             )
         # dww[g, j] = sum dPm_g . P'_j -> column g of dww^T
         for g in range(h):
-            t = pp * pltpu.repeat(A[g * np_len:(g + 1) * np_len, :], h, 0)
+            t = pp * pltpu.repeat(A[sb + g * np_len:sb + (g + 1) * np_len, :], h, 0)
             r = jnp.sum(t, axis=-1, keepdims=True).astype(jnp.bfloat16)  # [HN,1]
             col = jax.lax.dot_general(
                 Drow, r, (((0,), (0,)), ((), ())),
@@ -312,23 +342,24 @@ def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
             Ww_s[:, g:g + 1] = Ww_s[:, g:g + 1] + col
 
         # dP'_b = sum_g ww[g, b] * dPm_g   (transpose mix)
-        _mix(ww_ref, A, B2, h, np_len, transpose=True)
+        _mix(ww_ref, A, B2, h, np_len, transpose=True, src_base=sb, dst_base=sb)
         # softmax bwd rows: dS'_b = P' . (dP' - rowsum(P'.dP'))
-        pdp = pp * B2[...]
+        pdp = pp * B2[sb:sb + HN, :]
         rs = jnp.sum(pdp, axis=-1, keepdims=True)
-        A[...] = pp * (B2[...] - rs)                      # A = dS'
+        A[sb:sb + HN, :] = pp * (B2[sb:sb + HN, :] - rs)  # A = dS'
         # dwl[b, j] = sum dS'_b . S_j -> column j of dwl
         for j in range(h):
-            t = A[...] * pltpu.repeat(S[j * np_len:(j + 1) * np_len, :], h, 0)
+            t = A[sb:sb + HN, :] * pltpu.repeat(
+                S[sb + j * np_len:sb + (j + 1) * np_len, :], h, 0)
             r = jnp.sum(t, axis=-1, keepdims=True).astype(jnp.bfloat16)
             col = jax.lax.dot_general(
                 Drow, r, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)       # [h, 1]
             Wl_s[:, j:j + 1] = Wl_s[:, j:j + 1] + col
         # dS_j = sum_b wl[b, j] * dS'_b   (transpose mix), * scale
-        _mix(wl_ref, A, B2, h, np_len, transpose=True)
+        _mix(wl_ref, A, B2, h, np_len, transpose=True, src_base=sb, dst_base=sb)
         for j in range(h):
-            blk = slice(j * np_len, (j + 1) * np_len)
+            blk = slice(sb + j * np_len, sb + (j + 1) * np_len)
             ds_b = (B2[blk, :] * scale).astype(jnp.bfloat16)
             dqkv_ref[lo:lo + np_len, j * d:(j + 1) * d] = jax.lax.dot_general(
                 ds_b, qkv_ref[lo:lo + np_len, HD + j * d:HD + (j + 1) * d],
@@ -366,9 +397,11 @@ def _fa_fwd_call(qkv2, wl, ww, scale, n, gb, np_len, h, d, save_p):
             jax.ShapeDtypeStruct((rows_total * h, np_len), jnp.bfloat16),
         ),
         scratch_shapes=[
-            pltpu.VMEM((hc * np_len, HD), jnp.bfloat16),   # Qs (scaled q)
-            pltpu.VMEM((HN, np_len), jnp.float32),         # S
-            pltpu.VMEM((HN, np_len), jnp.float32),         # T
+            # per-(sample, chunk) regions — see the WAR-hazard notes in the
+            # kernel bodies; (h//hc) chunks * hc*np_len rows = HN per sample
+            pltpu.VMEM((gb * HN, HD), jnp.bfloat16),       # Qs (scaled q)
+            pltpu.VMEM((gb * HN, np_len), jnp.float32),    # S
+            pltpu.VMEM((gb * HN, np_len), jnp.float32),    # T
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=96 * 1024 * 1024,
@@ -400,10 +433,12 @@ def _fa_bwd_call(qkv2, wl, ww, do2, p2, scale, n, gb, np_len, h, d):
             jax.ShapeDtypeStruct((h, h), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((hc * np_len, HD), jnp.bfloat16),   # Qs (scaled ops)
-            pltpu.VMEM((HN, np_len), jnp.float32),         # S (raw scores)
-            pltpu.VMEM((HN, np_len), jnp.float32),         # A (dPm / dS')
-            pltpu.VMEM((HN, np_len), jnp.float32),         # B2 (Pm / dP' / dS)
+            # per-iteration regions (WAR hazard); Wl_s/Ww_s are shared
+            # accumulators (true RMW dependence, safe)
+            pltpu.VMEM((gb * HN, HD), jnp.bfloat16),       # Qs (scaled ops)
+            pltpu.VMEM((gb * HN, np_len), jnp.float32),    # S (raw scores)
+            pltpu.VMEM((gb * HN, np_len), jnp.float32),    # A (dPm / dS')
+            pltpu.VMEM((gb * HN, np_len), jnp.float32),    # B2 (Pm / dP' / dS)
             pltpu.VMEM((h, h), jnp.float32),               # Wl_s
             pltpu.VMEM((h, h), jnp.float32),               # Ww_s
         ],
@@ -457,9 +492,7 @@ def _tf_factored_bwd(scale, n, heads, np_len, res, do):
 
 tf_factored_qkv.defvjp(_tf_factored_fwd, _tf_factored_bwd)
 
-# NOTE (round 4): this opt-in kernel reuses its S/T/Qs scratch across the
-# per-sample loop — the same write-after-read pattern that silently
-# corrupted the packed rows kernel on hardware for gb >= 2 (see
-# flash_attention._rows_fwd_kernel).  Interpret-mode results are exact; if
-# this kernel is ever promoted to a default path, give each loop iteration
-# its own scratch region first and re-oracle on hardware.
+# Round 5: the round-4-flagged scratch-reuse WAR hazard is FIXED — every
+# per-sample loop iteration (and every scaled-mode chunk) owns its scratch
+# region, mirroring the packed-rows fix (flash_attention._rows_fwd_kernel).
+# Hardware-oracled via tools/hw_oracle.py --only factored.

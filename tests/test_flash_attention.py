@@ -15,6 +15,11 @@ import jax.numpy as jnp
 
 from distillclip_tpu.ops import flash_attention, reference_attention
 
+# mid-tier inner loop for kernel work: `-m kernels` runs just this file's
+# oracle suite (between `-m quick` ~70s and the ~24 min full suite);
+# hardware-side evidence is tools/hw_oracle.py
+pytestmark = pytest.mark.kernels
+
 B, H, N, D = 3, 4, 18, 32
 KEY = jax.random.PRNGKey(0)
 
@@ -328,15 +333,31 @@ def test_factored_transform_matches_oracle():
     from distillclip_tpu.ops.transform_attention import _xla_transform_rows
     from distillclip_tpu.ops.transform_factored import tf_factored_qkv
 
-    for (B, Np, h, d, n, hc) in (
-        (2, 80, 4, 16, 77, None),
-        (2, 64, 8, 16, 50, None),
-        (2, 64, 8, 16, 50, 4),
+    # (B, Np, h, d, n, hc, scores, mix): covers the default perhead/fma
+    # path, an hc>1 chunking, and the selectable scaled/roll modes — all
+    # paths got per-iteration scratch regions in the round-5 WAR-hazard fix
+    # and each must stay exact in interpret mode (hardware: hw_oracle
+    # --only factored)
+    for (B, Np, h, d, n, hc, scores, mix) in (
+        (2, 80, 4, 16, 77, None, None, None),
+        (2, 64, 8, 16, 50, None, None, None),
+        (2, 64, 8, 16, 50, 4, None, None),
+        (2, 64, 8, 16, 50, None, "scaled", None),
+        (2, 64, 8, 16, 50, 4, "scaled", None),
+        (2, 64, 8, 16, 50, None, None, "roll"),
     ):
         if hc is not None:
             os.environ["DISTILLCLIP_TF_HC"] = str(hc)
         else:
             os.environ.pop("DISTILLCLIP_TF_HC", None)
+        if scores is not None:
+            os.environ["DISTILLCLIP_TF_SCORES"] = scores
+        else:
+            os.environ.pop("DISTILLCLIP_TF_SCORES", None)
+        if mix is not None:
+            os.environ["DISTILLCLIP_TF_MIX"] = mix
+        else:
+            os.environ.pop("DISTILLCLIP_TF_MIX", None)
         try:
             HD = h * d
             rng = np.random.default_rng(1)
@@ -363,11 +384,13 @@ def test_factored_transform_matches_oracle():
             def rel(a, b):
                 return float(jnp.abs(a - b).max() / (jnp.abs(b).max() + 1e-9))
 
-            assert rel(o_f, o_r) < 1e-2
+            assert rel(o_f, o_r) < 1e-2, (B, Np, h, d, hc, scores, mix)
             for name, a, b in zip(("dqkv", "dwl", "dww"), vjp_f(do), vjp_r(do)):
-                assert rel(a, b) < 2e-2, (name, B, Np, h, d, hc)
+                assert rel(a, b) < 2e-2, (name, B, Np, h, d, hc, scores, mix)
         finally:
             os.environ.pop("DISTILLCLIP_TF_HC", None)
+            os.environ.pop("DISTILLCLIP_TF_SCORES", None)
+            os.environ.pop("DISTILLCLIP_TF_MIX", None)
 
 
 def test_dense_act_ln_matches_oracle():
