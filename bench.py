@@ -413,22 +413,42 @@ def run_serve(quick=False, buckets=(256, 1024), iters=10, warmup=2):
                 scorer.image_vars, scorer.text_vars, d_imgs, d_toks))
         dt_dev = time.perf_counter() - t0
         assert s.shape == (b,)
+        # streamed e2e: double-buffered host->device transfer overlapping
+        # the fused scorer (LCLIPScorer.score_tokens_stream, VERDICT r4
+        # item 7) — the code path a production serving host runs; compare
+        # against the serial per-call e2e above
+        stream_iters = max(iters, 4)
+        batches = [(images, tokens)] * stream_iters
+        for _ in scorer.score_tokens_stream(iter(batches[:2])):
+            pass  # warm the pipeline
+        t0 = time.perf_counter()
+        n_done = 0
+        for s in scorer.score_tokens_stream(iter(batches)):
+            n_done += len(s)
+        dt_stream = time.perf_counter() - t0
+        assert n_done == b * stream_iters
+
         out[f"bucket_{b}"] = {
             "pairs_per_s_per_chip": round(b * iters / dt, 2),
             "latency_ms": round(dt / iters * 1000, 2),
+            "streamed_pairs_per_s": round(b * stream_iters / dt_stream, 2),
             "device_resident_pairs_per_s": round(b * iters / dt_dev, 2),
             "device_resident_latency_ms": round(dt_dev / iters * 1000, 2),
         }
 
     # fixed per-call (dispatch/tunnel) latency cancels in the two-bucket
-    # marginal: the compute-only throughput a colocated host approaches
+    # marginal: the compute-only throughput a colocated host approaches.
+    # This is an EXTRAPOLATION (two-bucket subtraction), not a measured
+    # colocated-host rate — the measured overlap path is
+    # streamed_pairs_per_s above.
     keys = sorted(out, key=lambda k: int(k.split("_")[1]))
     if len(keys) >= 2:
         b0, b1 = int(keys[0].split("_")[1]), int(keys[-1].split("_")[1])
         t0_, t1_ = (out[keys[0]]["device_resident_latency_ms"],
                     out[keys[-1]]["device_resident_latency_ms"])
         if t1_ > t0_:
-            out["marginal_pairs_per_s"] = round((b1 - b0) / (t1_ - t0_) * 1000, 2)
+            out["marginal_pairs_per_s_extrapolated"] = round(
+                (b1 - b0) / (t1_ - t0_) * 1000, 2)
     return out
 
 
@@ -447,6 +467,9 @@ EXTRA_STAGES = (
     ("text", dict(stage="text")),
     ("text_cached", dict(stage="text", cached_teacher=True)),
     ("image", dict(stage="image")),
+    # stage-1 FLOP lever (no-augment deviation,
+    # configs/final/image_allcached.yaml): teacher dropped from the step
+    ("image_cached", dict(stage="image", cached_teacher=True)),
 )
 
 
@@ -466,17 +489,15 @@ def main():
                         help="skip the per-stage sub-benches")
     parser.add_argument(
         "--cached-teacher", action="store_true",
-        help="precompute frozen-teacher text reps and drop that tower from "
-             "the step (valid: text stage, and the text tower of l_clip; "
-             "inputs are fixed token tensors so reps are constants)",
+        help="precompute frozen-teacher reps and drop that tower from the "
+             "step (text: fixed token tensors; image: the no-augment "
+             "deviation — fixed pixels, configs/final/image_allcached.yaml; "
+             "l_clip: the text tower)",
     )
     parser.add_argument("--trace", default=None, metavar="DIR",
                         help="write a 3-step jax.profiler device trace to DIR "
                              "(digest with tools/trace_summary.py)")
     args = parser.parse_args()
-    if args.cached_teacher and args.stage == "image":
-        parser.error("--cached-teacher: image inputs are augmented; only "
-                     "text / l_clip support cached teacher reps")
 
     if args.quick:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
@@ -568,19 +589,53 @@ def main():
             except Exception as e:  # sub-benches must never sink the headline
                 stages[name] = {"error": f"{type(e).__name__}: {e}"[:200]}
         detail["stages"] = stages
+        # machine-readable feasibility verdict (VERDICT r4 item 6): the
+        # headline's vs_baseline must self-explain — the joint stage as the
+        # reference configures it is FLOP-bound BELOW the target on one
+        # chip, while the per-stage targets that are arithmetically
+        # reachable are met.  Full analysis: BASELINE.md.
+        sv = lambda n: stages.get(n, {}).get("value")
+        best_dev = max(
+            (("l_clip_allcached", sv("l_clip_allcached")),
+             ("image_cached", sv("image_cached"))),
+            key=lambda kv: kv[1] or 0.0,
+        )
         detail["north_star"] = {
             "target_pairs_per_s": NORTH_STAR_PAIRS_PER_SEC,
-            # the full feasibility analysis lives in BASELINE.md
-            # ("North-star feasibility"): the joint stage as configured is
-            # compute-infeasible at 8k on one v5e chip; stage-2 cached
-            # exceeds the target (see detail.stages.text_cached); the
-            # fully-cached joint variant is the documented FLOP lever
+            "met_stages": {
+                name: s["value"] >= NORTH_STAR_PAIRS_PER_SEC
+                for name, s in stages.items() if "value" in s
+            },
+            # true-FLOP ceiling of the headline config (cached-text joint
+            # step, B=256) at 100% MFU on one v5e: ~62 ms issued-FLOP
+            # serial floor -> ~4,900 pairs/s (BENCH_NOTES round-3 roofline);
+            # no schedule can cross it — only removing FLOPs can
+            "joint_flop_ceiling_pairs_per_s": 4900,
+            "headline_is_flop_bound": True,
+            # fastest documented-deviation config (FLOP removal via
+            # no-augment cached teachers)
+            "best_deviation": {"config": best_dev[0], "value": best_dev[1]},
             "analysis": "BASELINE.md: North-star feasibility",
         }
         try:  # serving numbers ride along in the default run (VERDICT r2 #6)
             detail["serving"] = run_serve(quick=args.quick)
         except Exception as e:
             detail["serving"] = {"error": f"{type(e).__name__}: {e}"[:200]}
+        try:
+            # host input pipeline (BASELINE.md metric list; VERDICT r4
+            # item 5): native decode+RandAugment img/s per thread +
+            # tokenizer capt/s on the fabricated-JPEG corpus (host-side,
+            # backend-independent)
+            from distillclip_tpu.tools.input_bench import run as input_run
+
+            detail["input_pipeline"] = input_run(
+                n=128 if args.quick else 256,
+                threads_list=(1, 2),
+                image_size=64 if args.quick else 224,
+                n_captions=2000 if args.quick else 10000,
+            )
+        except Exception as e:
+            detail["input_pipeline"] = {"error": f"{type(e).__name__}: {e}"[:200]}
 
     result = {
         "metric": METRIC_NAMES[primary_stage],

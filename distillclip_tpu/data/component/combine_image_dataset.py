@@ -34,6 +34,23 @@ def _cache_path(cache_dir, teacher_name):
     return Path(cache_dir) / f'image-cache-val-{teacher_name.replace("/", "-")}.npz'
 
 
+def _train_rep_cache(cache_dir, teacher_name):
+    return Path(cache_dir) / (
+        f'image-cache-train-reps-{teacher_name.replace("/", "-")}.npz'
+    )
+
+
+def _train_paths(combine_dataset_path, image_use) -> List[str]:
+    """Deterministic (sorted) train path list for the combined flat folder.
+
+    The rep cache is keyed by row index, so the path order must be stable
+    across prepare and dataset construction — ``iterdir`` order is not.
+    """
+    prefixes = tuple(IMAGE_PREFIX[n] for n in image_use)
+    root = Path(combine_dataset_path)
+    return sorted(str(p) for p in root.iterdir() if p.name.startswith(prefixes))
+
+
 def prepare(prepare_args: dict) -> None:
     """Pre-encode COCO val2017 captions with the teacher text tower
     (combine_image_dataset.py:17-55)."""
@@ -65,6 +82,31 @@ def prepare(prepare_args: dict) -> None:
     )
     log.info("cache data saved in %s", cache_path)
 
+    # optional stage-1 FLOP lever (documented deviation, BASELINE.md
+    # north-star analysis): pre-encode the TRAIN images with the frozen
+    # teacher image tower so the train step can drop the teacher entirely
+    # (DistillTask cached_teacher).  Only valid with augment_train: false —
+    # the reference keeps its teacher live solely because train images are
+    # RandAugmented (combine_image_dataset.py:85-117).
+    if prepare_args.get("cache_train_image_reps"):
+        from distillclip_tpu.data.component.utils import encode_images
+
+        rep_cache = _train_rep_cache(cache_dir, teacher_name)
+        if overwrite or not rep_cache.exists():
+            image_use = prepare_args.get("image_use") or ["coco", "imagenet"]
+            paths_train = _train_paths(
+                prepare_args["combine_dataset_path"], image_use
+            )
+            log.info(
+                "pre-encoding %d train images with the teacher image tower...",
+                len(paths_train),
+            )
+            reps = encode_images(
+                paths_train, teacher_name,
+                download_root=prepare_args.get("download_root"),
+            )
+            np.savez(rep_cache, paths=np.asarray(paths_train), train_rep=reps)
+
 
 class CombineImageDataset(MapDataset):
     def __init__(
@@ -78,6 +120,8 @@ class CombineImageDataset(MapDataset):
         rand_augment_ops: int = 4,
         use_native_decode: bool = True,
         device_normalize: bool = False,
+        augment_train: bool = True,
+        cached_teacher_reps: bool = False,
     ):
         # device_normalize: emit raw uint8 pixels; the train step applies
         # (x/255 - mean)/std on device (train_state.prepare_inputs) — 4x
@@ -90,16 +134,41 @@ class CombineImageDataset(MapDataset):
                 f"the {i} dataset name is not exists in {IMAGE_DATASET_NAME}"
             )
         self.train = train
+        self.augment_train = augment_train
+        self.train_rep = None
         if train:
-            prefixes = tuple(IMAGE_PREFIX[n] for n in image_use)
-            root = Path(combine_dataset_path)
-            self.path_list = [
-                str(p) for p in root.iterdir() if p.name.startswith(prefixes)
-            ]
+            if cached_teacher_reps:
+                # stage-1 FLOP lever: fixed train pixels + pre-encoded
+                # teacher reps; the rep cache's (sorted) path order is
+                # authoritative so rep[i] matches path_list[i]
+                if augment_train:
+                    raise ValueError(
+                        "cached_teacher_reps requires augment_train: false "
+                        "— RandAugmented pixels change every epoch, so the "
+                        "teacher image reps are not per-sample constants "
+                        "(reference keeps the image teacher live for exactly "
+                        "this reason, combine_image_dataset.py:85-117)"
+                    )
+                rep_cache = _train_rep_cache(cache_dir, teacher_name)
+                if not rep_cache.exists():
+                    raise FileNotFoundError(
+                        f"{rep_cache} not found: run prepare with "
+                        "cache_train_image_reps=true to pre-encode the train "
+                        "images"
+                    )
+                data = np.load(rep_cache, allow_pickle=False)
+                self.path_list = [str(p) for p in data["paths"]]
+                self.train_rep = data["train_rep"]
+            else:
+                self.path_list = _train_paths(combine_dataset_path, image_use)
             # NOTE (quirk preserved): reference train transform skips
             # resize/crop — the combined folder is pre-sized 224x224
             # (combine_image_dataset.py:97-103)
-            self.transform = train_image_transform(image_size, rand_augment_ops)
+            self.transform = (
+                train_image_transform(image_size, rand_augment_ops)
+                if augment_train
+                else eval_image_transform(image_size)
+            )
             self.captions_rep = None
             self.image_size = image_size
             # native libjpeg decode (resize/crop in C++) feeding RandAugment;
@@ -109,7 +178,9 @@ class CombineImageDataset(MapDataset):
             from distillclip_tpu.data.transforms import RandAugment
 
             self._native = native_loader
-            self._rand_augment = RandAugment(num_ops=rand_augment_ops)
+            self._rand_augment = (
+                RandAugment(num_ops=rand_augment_ops) if augment_train else None
+            )
         else:
             data = np.load(_cache_path(cache_dir, teacher_name), allow_pickle=False)
             self.path_list = [str(p) for p in data["paths"]]
@@ -120,6 +191,13 @@ class CombineImageDataset(MapDataset):
     def __len__(self):
         return len(self.path_list)
 
+    def _train_item(self, arr_or_img, idx):
+        """Assemble a train batch dict (+ cached teacher rep if present)."""
+        item = {"inputs": arr_or_img}
+        if self.train_rep is not None:
+            item["tea_rep"] = self.train_rep[idx]
+        return item
+
     def __getitem__(self, idx):
         from distillclip_tpu.data.transforms import to_normalized_array
 
@@ -127,10 +205,16 @@ class CombineImageDataset(MapDataset):
         if self.train and self.use_native_decode:
             raw = self._native.decode_raw_file(path, self.image_size)
             if raw is not None:
-                augmented = self._rand_augment(Image.fromarray(raw))
+                augmented = (
+                    self._rand_augment(Image.fromarray(raw))
+                    if self._rand_augment is not None
+                    else Image.fromarray(raw)
+                )
                 if self.device_normalize:
-                    return {"inputs": np.asarray(augmented.convert("RGB"), np.uint8)}
-                return {"inputs": to_normalized_array(augmented)}
+                    return self._train_item(
+                        np.asarray(augmented.convert("RGB"), np.uint8), idx
+                    )
+                return self._train_item(to_normalized_array(augmented), idx)
             # fall through to PIL on non-JPEG / decode failure.  Warn ONCE:
             # the native path resizes bilinear/area while PIL uses bicubic,
             # so a missing libdcloader.so would otherwise silently change
@@ -146,11 +230,12 @@ class CombineImageDataset(MapDataset):
         if self.train and self.device_normalize:
             from distillclip_tpu.data.transforms import center_crop, resize_shorter
 
-            augmented = self._rand_augment(
-                center_crop(resize_shorter(img, self.image_size), self.image_size)
+            sized = center_crop(resize_shorter(img, self.image_size), self.image_size)
+            augmented = (
+                self._rand_augment(sized) if self._rand_augment is not None else sized
             )
-            return {"inputs": np.asarray(augmented.convert("RGB"), np.uint8)}
+            return self._train_item(np.asarray(augmented.convert("RGB"), np.uint8), idx)
         image = self.transform(img)
         if self.train:
-            return {"inputs": image}
+            return self._train_item(image, idx)
         return {"inputs": image, "contrary": self.captions_rep[idx]}

@@ -771,3 +771,71 @@ def test_coco_fully_cached_pipeline_end_to_end(ckpt_path, tmp_path):
             cached_image_teacher_reps=True, augment_train=True,
             cache_dir=str(tmp_path / "cache"), teacher_name=ckpt_path,
         )
+
+
+def test_image_cached_pipeline_end_to_end(ckpt_path, tmp_path):
+    """Stage-1 FLOP lever (configs/final/image_allcached.yaml): fabricated
+    combined folder -> prepare (cache_train_image_reps pre-encodes train
+    images) -> CombineImageDataset(augment_train=False,
+    cached_teacher_reps=True) -> trainer auto-selects the cached-teacher
+    single-tower step ('tea_rep' in the batch) and fits."""
+    import json as _json
+
+    from distillclip_tpu.data.datamodule import MainDataModule
+    from distillclip_tpu.tools.fabricate_images import fabricate
+    from distillclip_tpu.training.trainer import Trainer
+
+    corpus = str(tmp_path / "corpus")
+    fabricate(corpus, n_train=32, n_val=16, size=RES)
+
+    dm = MainDataModule(
+        dataset="combine_image_dataset",
+        dataset_name="CombineImageDataset",
+        prepare_para={"raw_data_dir": corpus, "cache_train_image_reps": True},
+        dataset_para={
+            "combine_dataset_path": f"{corpus}/combined",
+            "image_use": ["coco", "imagenet"],
+            "image_size": RES,
+            "augment_train": False,
+            "cached_teacher_reps": True,
+            "cache_dir": str(tmp_path / "cache"),
+            "teacher_name": ckpt_path,
+            "download_root": str(tmp_path / "cache"),
+        },
+        train_batch_size=8,
+        val_batch_size=8,
+        num_workers=0,
+    )
+    task = DistillTask(
+        student=RepeatVisionTransformer(
+            img_size=RES, patch_size=PATCH, out_dim=OUT, embed_dim=32,
+            depth=2, num_heads=4, repeated_times=2, qkv_bias=True,
+        ),
+        loss_control_para={"loss_name": ["out_l1", "out_cos"]},
+        teacher_name=ckpt_path, model_type="image",
+        lr=1e-3, warm_steps=1, total_steps=4,
+    )
+    trainer = Trainer(max_epochs=1, result_dir=str(tmp_path), run_name="imgab",
+                      log_every_n_steps=1, limit_val_batches=1)
+    trainer.fit(task, dm)
+    lines = [_json.loads(l) for l in open(tmp_path / "imgab" / "metrics.jsonl")]
+    assert any("train_loss/loss" in d for d in lines)
+
+    # train items carry the cached teacher rep at the teacher's out dim
+    item = dm.trainset[0]
+    assert item["tea_rep"].shape == (OUT,)
+    # rep order matches the (sorted) path order the cache was built with
+    assert dm.trainset.path_list == sorted(dm.trainset.path_list)
+
+    # RandAugment + cached reps must refuse to combine
+    from distillclip_tpu.data.component.combine_image_dataset import (
+        CombineImageDataset,
+    )
+
+    with pytest.raises(ValueError, match="augment_train"):
+        CombineImageDataset(
+            combine_dataset_path=f"{corpus}/combined", train=True,
+            image_use=["coco", "imagenet"], image_size=RES,
+            cached_teacher_reps=True, augment_train=True,
+            cache_dir=str(tmp_path / "cache"), teacher_name=ckpt_path,
+        )
