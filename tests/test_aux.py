@@ -354,3 +354,67 @@ def test_wandb_writer_offline(tmp_path, monkeypatch):
     monkeypatch.setenv("DISTILLCLIP_WANDB", "offline")
     ws = default_writers(str(tmp_path), use_tensorboard=False)
     assert any(isinstance(x, WandbWriter) for x in ws)
+
+
+@pytest.mark.quick
+def test_hw_trajectory_compare_envelope():
+    """Agreement verdict logic (tools/hw_trajectory.py): wrong math fails
+    the pre-compounding early window; chaos-scale drift inside the shadow
+    envelope passes; drift far beyond the shadow fails."""
+    from distillclip_tpu.tools.hw_trajectory import compare
+
+    base = [1.0 / (i + 1) for i in range(20)]
+
+    # identical curves pass trivially
+    v = compare(base, base, shadow=base)
+    assert v["ok"] and v["early_ok"] and v["final_ok"]
+
+    # wrong math: O(1) error from step 0 (the round-4 WAR hazard class)
+    wrong = [x * 2.0 for x in base]
+    v = compare(wrong, base, shadow=base)
+    assert not v["ok"] and not v["early_ok"]
+
+    # chaos drift: late divergence comparable to the shadow's
+    drift = [x * (1.0 + (0.05 if i > 8 else 0.0)) for i, x in enumerate(base)]
+    shadow = [x * (1.0 - (0.04 if i > 7 else 0.0)) for i, x in enumerate(base)]
+    v = compare(drift, base, shadow=shadow)
+    assert v["ok"], v
+
+    # divergence far beyond the shadow envelope fails even late
+    blowup = [x * (1.0 + (3.0 if i > 10 else 0.0)) for i, x in enumerate(base)]
+    v = compare(blowup, base, shadow=shadow)
+    assert not v["ok"] and v["envelope_broken_at"] is not None
+
+
+@pytest.mark.quick
+def test_device_prestaged_loader_caches_device_batches():
+    """DevicePrestagedLoader: first pass uploads, later passes replay the
+    SAME device arrays (no re-collation, no host->device traffic)."""
+    import numpy as np
+
+    import jax
+
+    from distillclip_tpu.data.datamodule import DevicePrestagedLoader
+
+    class CountingLoader:
+        def __init__(self):
+            self.iters = 0
+
+        def __len__(self):
+            return 3
+
+        def __iter__(self):
+            self.iters += 1
+            for i in range(3):
+                yield {"inputs": np.full((8, 2), i, np.float32)}
+
+    inner = CountingLoader()
+    loader = DevicePrestagedLoader(inner)
+    first = list(loader)
+    assert inner.iters == 1
+    assert len(first) == 3 and len(loader) == 3
+    assert isinstance(first[0]["inputs"], jax.Array)
+    second = list(loader)
+    assert inner.iters == 1  # replayed from the device cache
+    assert all(a["inputs"] is b["inputs"] for a, b in zip(first, second))
+    np.testing.assert_array_equal(np.asarray(second[2]["inputs"]), 2.0)
