@@ -595,11 +595,15 @@ def main():
         # chip, while the per-stage targets that are arithmetically
         # reachable are met.  Full analysis: BASELINE.md.
         sv = lambda n: stages.get(n, {}).get("value")
-        best_dev = max(
-            (("l_clip_allcached", sv("l_clip_allcached")),
-             ("image_cached", sv("image_cached"))),
-            key=lambda kv: kv[1] or 0.0,
-        )
+        deviations = [
+            (name, sv(name))
+            for name in ("l_clip_allcached", "image_cached")
+            if sv(name) is not None
+        ]
+        # never present an errored stage as the best deviation: with no
+        # measured deviation the field says so explicitly
+        best_dev = max(deviations, key=lambda kv: kv[1]) if deviations else (
+            None, None)
         detail["north_star"] = {
             "target_pairs_per_s": NORTH_STAR_PAIRS_PER_SEC,
             "met_stages": {

@@ -61,26 +61,28 @@ def prepare(prepare_args: dict) -> None:
     cache_dir.mkdir(parents=True, exist_ok=True)
 
     cache_path = _cache_path(cache_dir, teacher_name)
-    if cache_path.exists() and not overwrite:
-        return
-    log.info("the cache not exists or overwrite set; encoding val captions")
-    val_dir = raw_data_dir / "mscoco" / "val2017"
-    ann = raw_data_dir / "mscoco" / "annotations" / "captions_val2017.json"
-    index = load_coco_index(str(ann))
-    captions = [caps[0] for _, caps in index]
-    paths = [str(val_dir / name) for name, _ in index]
-    captions_rep = encode_texts(
-        captions, teacher_name,
-        download_root=prepare_args.get("download_root"),
-        bpe_path=prepare_args.get("bpe_path"),
-    )
-    np.savez(
-        cache_path,
-        paths=np.asarray(paths),
-        captions_rep=captions_rep,
-        captions=np.asarray(captions),
-    )
-    log.info("cache data saved in %s", cache_path)
+    if overwrite or not cache_path.exists():
+        # NOT an early return: the optional train-rep cache below must
+        # still build when the val cache already exists (a corpus prepared
+        # once for the live config, later switched to image_allcached)
+        log.info("the cache not exists or overwrite set; encoding val captions")
+        val_dir = raw_data_dir / "mscoco" / "val2017"
+        ann = raw_data_dir / "mscoco" / "annotations" / "captions_val2017.json"
+        index = load_coco_index(str(ann))
+        captions = [caps[0] for _, caps in index]
+        paths = [str(val_dir / name) for name, _ in index]
+        captions_rep = encode_texts(
+            captions, teacher_name,
+            download_root=prepare_args.get("download_root"),
+            bpe_path=prepare_args.get("bpe_path"),
+        )
+        np.savez(
+            cache_path,
+            paths=np.asarray(paths),
+            captions_rep=captions_rep,
+            captions=np.asarray(captions),
+        )
+        log.info("cache data saved in %s", cache_path)
 
     # optional stage-1 FLOP lever (documented deviation, BASELINE.md
     # north-star analysis): pre-encode the TRAIN images with the frozen
@@ -159,6 +161,20 @@ class CombineImageDataset(MapDataset):
                 data = np.load(rep_cache, allow_pickle=False)
                 self.path_list = [str(p) for p in data["paths"]]
                 self.train_rep = data["train_rep"]
+                # the cache is keyed by teacher only; refuse silently
+                # serving a corpus the requested image_use excludes
+                prefixes = tuple(IMAGE_PREFIX[n] for n in image_use)
+                bad = [
+                    p for p in self.path_list
+                    if not os.path.basename(p).startswith(prefixes)
+                ]
+                if bad:
+                    raise ValueError(
+                        f"teacher-rep cache {rep_cache} was built from a "
+                        f"different image_use than {image_use} (e.g. "
+                        f"{os.path.basename(bad[0])!r}); re-run prepare "
+                        "with overwrite=true"
+                    )
             else:
                 self.path_list = _train_paths(combine_dataset_path, image_use)
             # NOTE (quirk preserved): reference train transform skips

@@ -88,8 +88,15 @@ def _pick_rows_blk(rows: int) -> int:
     import os
 
     env = os.environ.get("DISTILLCLIP_FC1_BLK")
-    if env and rows % int(env) == 0:
-        return int(env)  # block-size override for hardware tuning
+    if env:
+        # block-size override for hardware tuning (perf `fc1_blk`);
+        # bad values fall back rather than raising at trace time
+        try:
+            blk = int(env)
+        except ValueError:
+            blk = 0
+        if blk > 0 and rows % blk == 0:
+            return blk
     for cand in (512, 256, 128, 64, 32, 16, 8):
         if rows % cand == 0:
             return cand

@@ -260,8 +260,14 @@ def _head_chunk(h: int, np_len: int, max_rows: int = 768) -> int:
     import os
 
     env = os.environ.get("DISTILLCLIP_FLASH_HC")
-    if env and h % int(env) == 0:
-        return int(env)
+    if env:
+        # perf `flash_hc`: bad values fall back, not raise at trace time
+        try:
+            ehc = int(env)
+        except ValueError:
+            ehc = 0
+        if ehc > 0 and h % ehc == 0:
+            return ehc
     hc = h
     while hc > 1 and hc % 2 == 0 and hc * np_len > max_rows:
         hc //= 2

@@ -506,8 +506,15 @@ def _tf_flat_qkv_bwd(scale, n, heads, np_len, res, do):
     # gb=2 -> 20.4 ms, so the cap halves again at heads >= 16
     gb = _pick_gb(rows_total // np_len, cap=4 if heads >= 16 else 8)
     gb_env = os.environ.get("DISTILLCLIP_TF_BWD_GB")
-    if gb_env and (rows_total // np_len) % int(gb_env) == 0:
-        gb = int(gb_env)  # bwd block-size override for tuning
+    if gb_env:
+        # bwd block-size override for tuning (perf `tf_bwd_gb`); bad
+        # values fall back, not raise at trace time
+        try:
+            egb = int(gb_env)
+        except ValueError:
+            egb = 0
+        if egb > 0 and (rows_total // np_len) % egb == 0:
+            gb = egb
     dqkv, dwl, dww = _tf_bwd_call(
         qkvf, wl, ww, do, pf, float(scale), n, gb, np_len, heads, d)
     return dqkv, dwl.astype(wl.dtype), dww.astype(ww.dtype)

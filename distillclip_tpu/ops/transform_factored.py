@@ -66,8 +66,15 @@ def _pick_hc(h: int, np_len: int) -> int:
     import os
 
     env = os.environ.get("DISTILLCLIP_TF_HC")
-    if env and h % int(env) == 0:
-        return int(env)
+    if env:
+        # config-settable knob (perf `tf_hc`): bad values fall back rather
+        # than raising at trace time (advisor r4 class)
+        try:
+            hc = int(env)
+        except ValueError:
+            hc = 0
+        if hc > 0 and h % hc == 0:
+            return hc
     return h
 
 
@@ -293,10 +300,16 @@ def _fa_bwd_kernel(qkv_ref, wl_ref, ww_ref, do_ref, p_ref,
     Wl_s[...] = jnp.zeros_like(Wl_s)
     Ww_s[...] = jnp.zeros_like(Ww_s)
 
-    # per-iteration scratch regions (sb/qb) for Qs/S/A/B2: the WAR pattern
-    # Mosaic mis-schedules on hardware (round-4 packed-rows find).  Wl_s /
-    # Ww_s stay shared: their read-modify-write accumulation is a true data
-    # dependence the scheduler must (and does) respect.
+    # per-iteration scratch regions (sb/qb) for Qs/S/A/B2 remove the
+    # LOOP-CARRIED WAR pattern Mosaic mis-schedules on hardware (round-4
+    # packed-rows find: iteration s+1's stores landing before iteration
+    # s's reads).  Wl_s / Ww_s stay shared (true RMW dependence).  NOTE:
+    # WITHIN one iteration A/B2 (and Qs in scaled mode) are still
+    # written-after-read in sequence — that straight-line reuse is
+    # certified on hardware by `hw_oracle --only factored` across both
+    # geometries and all modes; if an uncovered shape misbehaves, split
+    # those uses into distinct regions too (costs ~3 more [gb*HN, Np]
+    # buffers).
     for s in range(gb):
         lo = s * np_len
         sb = s * HN
@@ -454,8 +467,14 @@ def _pick_gb(B: int, cap: int = 8) -> int:
     import os
 
     env = os.environ.get("DISTILLCLIP_TF_FA_GB")
-    if env and B % int(env) == 0:
-        return int(env)
+    if env:
+        # perf `tf_fa_gb`: fall back on bad values (advisor r4 class)
+        try:
+            gb = int(env)
+        except ValueError:
+            gb = 0
+        if gb > 0 and B % gb == 0:
+            return gb
     for g in (cap, 4, 2):
         if B % g == 0:
             return g
@@ -492,7 +511,9 @@ def _tf_factored_bwd(scale, n, heads, np_len, res, do):
 
 tf_factored_qkv.defvjp(_tf_factored_fwd, _tf_factored_bwd)
 
-# Round 5: the round-4-flagged scratch-reuse WAR hazard is FIXED — every
-# per-sample loop iteration (and every scaled-mode chunk) owns its scratch
-# region, mirroring the packed-rows fix (flash_attention._rows_fwd_kernel).
-# Hardware-oracled via tools/hw_oracle.py --only factored.
+# Round 5: the round-4-flagged LOOP-CARRIED scratch-reuse WAR hazard is
+# FIXED — every per-sample loop iteration (and every scaled-mode chunk)
+# owns its scratch region across iterations, mirroring the packed-rows fix
+# (flash_attention._rows_fwd_kernel).  Intra-iteration sequential reuse of
+# A/B2/Qs remains (see the bwd kernel note) and is certified on hardware
+# via tools/hw_oracle.py --only factored (all modes, both geometries).

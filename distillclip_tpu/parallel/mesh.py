@@ -131,12 +131,19 @@ def shard_batch(mesh: Mesh, batch: Any) -> Any:
     per-process pieces without any cross-host copy.
     """
     sharding = batch_sharding(mesh)
-    if jax.process_count() > 1:
-        return jax.tree_util.tree_map(
-            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
-            batch,
-        )
-    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), batch)
+
+    def put(x):
+        # idempotent: already-sharded global arrays (DevicePrestagedLoader
+        # batches re-entering the trainer's per-step shard_batch) pass
+        # through — np.asarray on a non-addressable global array would
+        # raise in multi-process runs, and re-putting is wasted work
+        if isinstance(x, jax.Array) and x.sharding == sharding:
+            return x
+        if jax.process_count() > 1:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
+    return jax.tree_util.tree_map(put, batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:

@@ -32,6 +32,16 @@ def _bucket(n: int) -> int:
     return ((n + _BUCKETS[-1] - 1) // _BUCKETS[-1]) * _BUCKETS[-1]
 
 
+def _pad_to_bucket(arr: np.ndarray, b: int) -> np.ndarray:
+    """Zero-pad the batch dim up to the static bucket size ``b``."""
+    n = len(arr)
+    if b == n:
+        return arr
+    return np.concatenate(
+        [arr, np.zeros((b - n,) + np.shape(arr)[1:], np.asarray(arr).dtype)]
+    )
+
+
 @dataclasses.dataclass
 class LCLIPScorer:
     image_module: Any
@@ -174,11 +184,7 @@ class LCLIPScorer:
 
     def encode_images(self, images: np.ndarray) -> np.ndarray:
         n = len(images)
-        b = _bucket(n)
-        if b != n:
-            images = np.concatenate(
-                [images, np.zeros((b - n,) + images.shape[1:], images.dtype)]
-            )
+        images = _pad_to_bucket(images, _bucket(n))
         feats = self._encode_image(self.image_vars, jnp.asarray(images))
         return np.asarray(feats)[:n]
 
@@ -186,9 +192,7 @@ class LCLIPScorer:
         """Encode pre-tokenized captions (server fast path: tokenization is
         host work the caller can pipeline; the device leg starts here)."""
         n = len(tokens)
-        b = _bucket(n)
-        if b != n:
-            tokens = np.concatenate([tokens, np.zeros((b - n, tokens.shape[1]), tokens.dtype)])
+        tokens = _pad_to_bucket(tokens, _bucket(n))
         feats = self._encode_text(self.text_vars, jnp.asarray(tokens))
         return np.asarray(feats)[:n]
 
@@ -212,13 +216,8 @@ class LCLIPScorer:
         n = len(images)
         assert len(tokens) == n, "score_tokens expects aligned (image, token) pairs"
         b = _bucket(n)
-        if b != n:
-            images = np.concatenate(
-                [images, np.zeros((b - n,) + images.shape[1:], images.dtype)]
-            )
-            tokens = np.concatenate(
-                [tokens, np.zeros((b - n, tokens.shape[1]), tokens.dtype)]
-            )
+        images = _pad_to_bucket(images, b)
+        tokens = _pad_to_bucket(tokens, b)
         scores = self._score_pairs(
             self.image_vars, self.text_vars, jnp.asarray(images), jnp.asarray(tokens)
         )
@@ -244,13 +243,8 @@ class LCLIPScorer:
         for images, tokens in batches:
             n = len(images)
             b = _bucket(n)
-            if b != n:
-                images = np.concatenate(
-                    [images, np.zeros((b - n,) + images.shape[1:], images.dtype)]
-                )
-                tokens = np.concatenate(
-                    [tokens, np.zeros((b - n, tokens.shape[1]), tokens.dtype)]
-                )
+            images = _pad_to_bucket(images, b)
+            tokens = _pad_to_bucket(tokens, b)
             # async: device_put + the fused program dispatch return
             # immediately; the readback below fences only the OLDEST bucket
             d_imgs = jax.device_put(images)

@@ -117,10 +117,14 @@ def run(corpus: str = None, n: int = 512, threads_list=(1, 2, 4),
         image_size: int = 224, n_captions: int = 20000):
     from distillclip_tpu.tools.fabricate_images import fabricate
 
+    n_fab = max(n, 512)
     if corpus is None:
-        corpus = os.path.join(".cache", "input_bench_corpus")
+        # keyed by geometry: a 64px quick-run corpus must never be
+        # silently re-measured as the 224px decode cost (reviewer r5)
+        corpus = os.path.join(
+            ".cache", f"input_bench_corpus_{image_size}px_{n_fab}")
     if not os.path.exists(os.path.join(corpus, "combined")):
-        fabricate(corpus, n_train=max(n, 512), n_val=8, size=image_size)
+        fabricate(corpus, n_train=n_fab, n_val=8, size=image_size)
 
     images = bench_images(corpus, n, list(threads_list), image_size)
     tokens = bench_tokenizer(n_captions)

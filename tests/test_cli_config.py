@@ -239,3 +239,34 @@ def test_allcached_overlay_merges_over_final_l_clip():
     assert cfg["model"]["class_path"] == "DualDistillModel"
     assert cfg["data"]["init_args"]["train_batch_size"] == 512
     assert cfg["trainer"]["max_epochs"] == 300
+
+
+@pytest.mark.quick
+def test_int_perf_knobs_fall_back_on_bad_values(monkeypatch):
+    """Every config-settable integer knob must fall back to its heuristic
+    on 0/garbage instead of raising at trace time (advisor r4 class,
+    extended to all sites by the round-5 review)."""
+    from distillclip_tpu.ops.fc1_act import _pick_rows_blk
+    from distillclip_tpu.ops.flash_attention import _head_chunk
+    from distillclip_tpu.ops.transform_attention import _fwd_gb
+    from distillclip_tpu.ops.transform_factored import _pick_gb, _pick_hc
+
+    cases = [
+        ("DISTILLCLIP_TF_GB", lambda: _fwd_gb(64)),
+        ("DISTILLCLIP_TF_BWD_GB", None),  # exercised via _fwd_gb's sibling
+        ("DISTILLCLIP_TF_HC", lambda: _pick_hc(8, 64)),
+        ("DISTILLCLIP_TF_FA_GB", lambda: _pick_gb(64)),
+        ("DISTILLCLIP_FC1_BLK", lambda: _pick_rows_blk(512)),
+        ("DISTILLCLIP_FLASH_HC", lambda: _head_chunk(8, 64)),
+    ]
+    for env, fn in cases:
+        if fn is None:
+            continue
+        baseline_env = dict(os.environ)
+        for bad in ("0", "auto", "-3", "True"):
+            monkeypatch.setenv(env, bad)
+            v = fn()  # must not raise
+            assert isinstance(v, int) and v > 0, (env, bad, v)
+        monkeypatch.delenv(env, raising=False)
+        os.environ.clear()
+        os.environ.update(baseline_env)

@@ -788,6 +788,19 @@ def test_image_cached_pipeline_end_to_end(ckpt_path, tmp_path):
     corpus = str(tmp_path / "corpus")
     fabricate(corpus, n_train=32, n_val=16, size=RES)
 
+    # the overlay scenario (reviewer r5): prepare ran ONCE for the live
+    # config (val cache exists), then the allcached overlay's prepare must
+    # still build the train-rep cache — no early return past it
+    from distillclip_tpu.data.component.combine_image_dataset import (
+        prepare as img_prepare,
+    )
+
+    img_prepare({
+        "raw_data_dir": corpus, "cache_dir": str(tmp_path / "cache"),
+        "teacher_name": ckpt_path, "download_root": str(tmp_path / "cache"),
+        "combine_dataset_path": f"{corpus}/combined",
+    })
+
     dm = MainDataModule(
         dataset="combine_image_dataset",
         dataset_name="CombineImageDataset",
