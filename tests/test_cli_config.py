@@ -240,6 +240,19 @@ def test_allcached_overlay_merges_over_final_l_clip():
     assert cfg["data"]["init_args"]["train_batch_size"] == 512
     assert cfg["trainer"]["max_epochs"] == 300
 
+    # stage-1 overlay (round 5): same deep-merge contract
+    cfg = load_configs([
+        os.path.join(repo, "configs", "final", "image.yaml"),
+        os.path.join(repo, "configs", "final", "image_allcached.yaml"),
+    ])
+    para = cfg["data"]["init_args"]["dataset_para"]
+    prep = cfg["data"]["init_args"]["prepare_para"]
+    assert para["augment_train"] is False
+    assert para["cached_teacher_reps"] is True
+    assert prep["cache_train_image_reps"] is True
+    assert cfg["model"]["class_path"] == "DistillModel"
+    assert cfg["data"]["init_args"]["train_batch_size"] == 1024
+
 
 @pytest.mark.quick
 def test_int_perf_knobs_fall_back_on_bad_values(monkeypatch):
